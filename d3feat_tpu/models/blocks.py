@@ -1,0 +1,326 @@
+"""Network blocks: functional init/apply pairs over a static block spec.
+
+Capability counterpart of the reference block zoo
+(reference: models/blocks.py:389-731): unary / last_unary blocks, simple
+and resnet-bottleneck KPConv blocks (rigid + deformable, strided variants),
+nearest-upsample, max-pool and global-average blocks, and the
+name -> block registry used by the architecture walker.
+
+Everything is a pure function over explicit parameter pytrees; batch-norm
+running statistics (when enabled; the default config replaces BN with a
+learned bias, reference config.py:43) live in a separate state pytree so
+apply stays functional under jit/shard_map.
+
+Shadow semantics: pooling ops append a zero feature row so all-shadow rows
+pool to zero (reference: blocks.py:88,103); padding query rows therefore
+produce zeros and are masked downstream by stack lengths.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from d3feat_tpu.models.kpconv import (
+    KPConvParams,
+    init_kpconv,
+    kpconv,
+    torch_kaiming_uniform,
+)
+
+LEAKY_SLOPE = 0.1  # reference: blocks.py:501 LeakyReLU(0.1)
+
+
+# ---------------------------------------------------------------------------
+# static block description
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BlockSpec:
+    """Static description of one network block (hashable, jit-friendly)."""
+
+    name: str         # architecture entry, e.g. 'resnetb_strided'
+    kind: str         # 'unary' | 'last_unary' | 'simple' | 'resnetb'
+    #                 | 'nearest_upsample' | 'max_pool' | 'global_average'
+    layer: int        # pyramid level index
+    in_dim: int
+    out_dim: int
+    radius: float     # conv radius at this level
+    strided: bool = False
+    deformable: bool = False
+
+
+def classify_block(name: str) -> str:
+    if name == "unary":
+        return "unary"
+    if name == "last_unary":
+        return "last_unary"
+    if name.startswith("simple"):
+        return "simple"
+    if name.startswith("resnetb"):
+        return "resnetb"
+    if name == "nearest_upsample":
+        return "nearest_upsample"
+    if name in ("max_pool", "max_pool_wide"):
+        return "max_pool"
+    if name == "global_average":
+        return "global_average"
+    raise ValueError(f"unknown block name {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# pooling primitives
+# ---------------------------------------------------------------------------
+
+
+def _ext_zero(x: jax.Array) -> jax.Array:
+    return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+
+
+def closest_pool(x: jax.Array, inds: jax.Array) -> jax.Array:
+    """Features of the nearest (first) neighbor; shadow -> zeros
+    (reference: blocks.py:79-91 — relies on distance-sorted rows)."""
+    return jnp.take(_ext_zero(x), inds[:, 0], axis=0)
+
+
+def max_pool(x: jax.Array, inds: jax.Array) -> jax.Array:
+    """Max over each neighborhood with a zero shadow row
+    (reference: blocks.py:94-110)."""
+    gathered = jnp.take(_ext_zero(x), inds, axis=0)  # [n2, nn, d]
+    return jnp.max(gathered, axis=1)
+
+
+def global_average(x: jax.Array, lengths: jax.Array, num_clouds: int) -> jax.Array:
+    """[B, D] masked per-cloud mean (reference: blocks.py:113-133)."""
+    from d3feat_tpu.ops.subsample import lengths_to_cloud_ids
+
+    cid = lengths_to_cloud_ids(lengths, x.shape[0])
+    valid = cid < num_clouds
+    sums = jax.ops.segment_sum(
+        jnp.where(valid[:, None], x, 0.0), jnp.minimum(cid, num_clouds - 1),
+        num_segments=num_clouds,
+    )
+    return sums / jnp.maximum(lengths[:, None].astype(x.dtype), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# batch norm / bias
+# ---------------------------------------------------------------------------
+
+
+def init_norm(dim: int, use_bn: bool):
+    """BN scale/offset or a plain learned bias (reference: blocks.py:441-473)."""
+    if use_bn:
+        params = {"scale": jnp.ones((dim,)), "offset": jnp.zeros((dim,))}
+        state = {"mean": jnp.zeros((dim,)), "var": jnp.ones((dim,))}
+    else:
+        params = {"bias": jnp.zeros((dim,))}
+        state = {}
+    return params, state
+
+
+def apply_norm(params, state, x, mask, *, use_bn, momentum, train):
+    """Masked batch normalization (stats over valid rows only) or bias add.
+
+    Returns (y, new_state). ``momentum`` follows the torch convention:
+    running <- (1 - momentum) * running + momentum * batch.
+    """
+    if not use_bn:
+        return x + params["bias"], state
+    if train:
+        w = mask.astype(x.dtype)[:, None]
+        n = jnp.maximum(jnp.sum(w), 1.0)
+        mean = jnp.sum(x * w, axis=0) / n
+        var = jnp.sum(w * (x - mean) ** 2, axis=0) / n
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * var
+            * (n / jnp.maximum(n - 1.0, 1.0)),
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    return y * params["scale"] + params["offset"], new_state
+
+
+# ---------------------------------------------------------------------------
+# linear / unary
+# ---------------------------------------------------------------------------
+
+
+def init_linear(key, in_dim: int, out_dim: int):
+    """torch nn.Linear default init (kaiming_uniform a=sqrt(5), uniform bias)."""
+    k1, k2 = jax.random.split(key)
+    w = torch_kaiming_uniform(k1, (out_dim, in_dim)).T  # stored [in, out]
+    bound = 1.0 / math.sqrt(in_dim)
+    b = jax.random.uniform(k2, (out_dim,), minval=-bound, maxval=bound)
+    return {"w": w, "b": b}
+
+
+def apply_linear(params, x, compute_dtype=jnp.float32):
+    y = (x.astype(compute_dtype) @ params["w"].astype(compute_dtype))
+    return y.astype(jnp.float32) + params["b"]
+
+
+def init_unary(key, in_dim, out_dim, use_bn):
+    params = {"linear": init_linear(key, in_dim, out_dim)}
+    norm_p, norm_s = init_norm(out_dim, use_bn)
+    params["norm"] = norm_p
+    return params, norm_s
+
+
+def apply_unary(params, state, x, mask, *, use_bn, momentum, train,
+                relu=True, compute_dtype=jnp.float32):
+    """Linear + (BN | bias) + optional LeakyReLU (reference: blocks.py:481-515)."""
+    y = apply_linear(params["linear"], x, compute_dtype)
+    y, state = apply_norm(params["norm"], state, y, mask,
+                          use_bn=use_bn, momentum=momentum, train=train)
+    if relu:
+        y = jax.nn.leaky_relu(y, LEAKY_SLOPE)
+    return y, state
+
+
+# ---------------------------------------------------------------------------
+# composite blocks
+# ---------------------------------------------------------------------------
+
+
+def init_block(key, spec: BlockSpec, config, kernel_points) -> Tuple[Dict, Dict]:
+    """Initialize one block; returns (params, state)."""
+    kind = spec.kind
+    if kind == "unary":
+        return init_unary(key, spec.in_dim, spec.out_dim, config.use_batch_norm)
+    if kind == "last_unary":
+        return {"linear": init_linear(key, spec.in_dim, config.output_dim)}, {}
+    if kind in ("nearest_upsample", "max_pool", "global_average"):
+        return {}, {}
+
+    extent = spec.radius * config.KP_extent / config.conv_radius
+    if kind == "simple":
+        k1, _ = jax.random.split(key)
+        conv = init_kpconv(
+            k1, config.num_kernel_points, spec.in_dim, spec.out_dim // 2,
+            kernel_points, deformable=spec.deformable, modulated=config.modulated,
+        )
+        norm_p, norm_s = init_norm(spec.out_dim // 2, config.use_batch_norm)
+        return {"conv": conv, "norm": norm_p}, {"norm": norm_s}
+    if kind == "resnetb":
+        keys = jax.random.split(key, 4)
+        params: Dict = {}
+        state: Dict = {}
+        mid = spec.out_dim // 4
+        if spec.in_dim != mid:
+            params["unary1"], state["unary1"] = init_unary(
+                keys[0], spec.in_dim, mid, config.use_batch_norm
+            )
+        params["conv"] = init_kpconv(
+            keys[1], config.num_kernel_points, mid, mid, kernel_points,
+            deformable=spec.deformable, modulated=config.modulated,
+        )
+        params["norm_conv"], state["norm_conv"] = init_norm(mid, config.use_batch_norm)
+        params["unary2"], state["unary2"] = init_unary(
+            keys[2], mid, spec.out_dim, config.use_batch_norm
+        )
+        if spec.in_dim != spec.out_dim:
+            params["shortcut"], state["shortcut"] = init_unary(
+                keys[3], spec.in_dim, spec.out_dim, config.use_batch_norm
+            )
+        return params, state
+    raise ValueError(f"unknown block kind {kind!r}")
+
+
+def apply_block(params, state, spec: BlockSpec, x, batch, config, *,
+                train: bool, compute_dtype=jnp.float32):
+    """Apply one block. Returns (features, new_state, aux_or_None)."""
+    kind = spec.kind
+    use_bn = config.use_batch_norm
+    mom = config.batch_norm_momentum
+    l = spec.layer
+
+    if kind == "unary":
+        mask = batch["masks"][l]
+        y, new_state = apply_unary(params, state, x, mask, use_bn=use_bn,
+                                   momentum=mom, train=train,
+                                   compute_dtype=compute_dtype)
+        return y, new_state, None
+    if kind == "last_unary":
+        return apply_linear(params["linear"], x, compute_dtype), state, None
+    if kind == "nearest_upsample":
+        # decoder block at level l pools from level l using upsamples[l-1]
+        # (reference: blocks.py:712-713)
+        return closest_pool(x, batch["upsamples"][l - 1]), state, None
+    if kind == "max_pool":
+        return max_pool(x, batch["pools"][l + 1]), state, None
+    if kind == "global_average":
+        return (
+            global_average(x, batch["lengths"][-1], len(batch["lengths"][-1])),
+            state,
+            None,
+        )
+
+    if spec.strided:
+        q_pts = batch["points"][l + 1]
+        s_pts = batch["points"][l]
+        inds = batch["pools"][l]
+        out_mask = batch["masks"][l + 1]
+    else:
+        q_pts = batch["points"][l]
+        s_pts = batch["points"][l]
+        inds = batch["neighbors"][l]
+        out_mask = batch["masks"][l]
+
+    extent = spec.radius * config.KP_extent / config.conv_radius
+    conv_kw = dict(
+        KP_extent=extent,
+        KP_influence=config.KP_influence,
+        aggregation_mode=config.aggregation_mode,
+        deformable=spec.deformable,
+        modulated=config.modulated,
+        compute_dtype=compute_dtype,
+    )
+
+    if kind == "simple":
+        y, aux = kpconv(q_pts, s_pts, inds, x, params["conv"], **conv_kw)
+        y, norm_s = apply_norm(params["norm"], state["norm"], y, out_mask,
+                               use_bn=use_bn, momentum=mom, train=train)
+        y = jax.nn.leaky_relu(y, LEAKY_SLOPE)
+        return y, {**state, "norm": norm_s}, aux
+
+    if kind == "resnetb":
+        new_state = dict(state)
+        mid = spec.out_dim // 4
+        if "unary1" in params:
+            h, new_state["unary1"] = apply_unary(
+                params["unary1"], state["unary1"], x, batch["masks"][l],
+                use_bn=use_bn, momentum=mom, train=train,
+                compute_dtype=compute_dtype,
+            )
+        else:
+            h = x
+        h, aux = kpconv(q_pts, s_pts, inds, h, params["conv"], **conv_kw)
+        h, new_state["norm_conv"] = apply_norm(
+            params["norm_conv"], state["norm_conv"], h, out_mask,
+            use_bn=use_bn, momentum=mom, train=train,
+        )
+        h = jax.nn.leaky_relu(h, LEAKY_SLOPE)
+        h, new_state["unary2"] = apply_unary(
+            params["unary2"], state["unary2"], h, out_mask,
+            use_bn=use_bn, momentum=mom, train=train, relu=False,
+            compute_dtype=compute_dtype,
+        )
+        shortcut = max_pool(x, inds) if spec.strided else x
+        if "shortcut" in params:
+            shortcut, new_state["shortcut"] = apply_unary(
+                params["shortcut"], state["shortcut"], shortcut, out_mask,
+                use_bn=use_bn, momentum=mom, train=train, relu=False,
+                compute_dtype=compute_dtype,
+            )
+        return jax.nn.leaky_relu(h + shortcut, LEAKY_SLOPE), new_state, aux
+
+    raise ValueError(f"unknown block kind {kind!r}")

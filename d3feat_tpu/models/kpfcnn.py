@@ -1,0 +1,221 @@
+"""KPFCNN: the D3Feat encoder-decoder with joint descriptor + detector head.
+
+Functional counterpart of the reference model
+(reference: models/architectures.py:190-368). The constructor walk over the
+architecture list — radius doubling at strided blocks, output-dim doubling
+per level, skip bookkeeping, decoder concat positions — is reproduced in
+:func:`make_kpfcnn_specs` (reference: architectures.py:195-297); forward is
+a pure function over (params, state, batch) returning L2-normalized
+32-dim descriptors and detection scores (reference: architectures.py:299-320).
+
+Detector head (parameter-free, reference architectures.py:322-368):
+  saliency  = softplus(f - mean over radius neighborhood)  [level-0 neighbors]
+  channelmax= f / (1e-6 + max over channels)
+  score     = max over channels of (saliency * channelmax)
+with features first normalized by the global max (+1e-6). At eval time,
+points that are not an exact per-channel local max in their neighborhood
+get score zero (hard selection, architectures.py:361-366). Padding rows
+naturally score 0 (zero features).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from d3feat_tpu.models.blocks import (
+    BlockSpec,
+    apply_block,
+    classify_block,
+    init_block,
+)
+from d3feat_tpu.models.kernel_points import load_kernels
+
+
+@dataclass(frozen=True)
+class KPFCNNSpecs:
+    """Static model structure derived from the architecture list."""
+
+    encoder: Tuple[BlockSpec, ...]
+    decoder: Tuple[BlockSpec, ...]
+    encoder_skips: Tuple[int, ...]      # encoder block indices to stash before
+    decoder_concats: Tuple[int, ...]    # decoder block indices that concat a skip
+
+
+def make_kpfcnn_specs(config) -> KPFCNNSpecs:
+    """Walk config.architecture() the way the reference constructor does
+    (architectures.py:195-297)."""
+    arch = config.architecture()
+    layer = 0
+    r = config.first_subsampling_dl * config.conv_radius
+    in_dim = config.in_features_dim
+    out_dim = config.first_features_dim
+
+    encoder: List[BlockSpec] = []
+    encoder_skips: List[int] = []
+    encoder_skip_dims: List[int] = []
+    for block_i, name in enumerate(arch):
+        if any(tag in name for tag in ("pool", "strided", "upsample", "global")):
+            encoder_skips.append(block_i)
+            encoder_skip_dims.append(in_dim)
+        if "upsample" in name:
+            break
+        encoder.append(
+            BlockSpec(
+                name=name, kind=classify_block(name), layer=layer,
+                in_dim=in_dim, out_dim=out_dim, radius=r,
+                strided="strided" in name, deformable="deform" in name,
+            )
+        )
+        in_dim = out_dim // 2 if "simple" in name else out_dim
+        if "pool" in name or "strided" in name:
+            layer += 1
+            r *= 2
+            out_dim *= 2
+
+    decoder: List[BlockSpec] = []
+    decoder_concats: List[int] = []
+    start_i = next(i for i, n in enumerate(arch) if "upsample" in n)
+    for block_i, name in enumerate(arch[start_i:]):
+        if block_i > 0 and "upsample" in arch[start_i + block_i - 1]:
+            in_dim += encoder_skip_dims[layer]
+            decoder_concats.append(block_i)
+        decoder.append(
+            BlockSpec(
+                name=name, kind=classify_block(name), layer=layer,
+                in_dim=in_dim, out_dim=out_dim, radius=r,
+                strided=False, deformable="deform" in name,
+            )
+        )
+        in_dim = out_dim
+        if "upsample" in name:
+            layer -= 1
+            r *= 0.5
+            out_dim = out_dim // 2
+
+    return KPFCNNSpecs(
+        encoder=tuple(encoder),
+        decoder=tuple(decoder),
+        encoder_skips=tuple(encoder_skips),
+        decoder_concats=tuple(decoder_concats),
+    )
+
+
+def init_kpfcnn(key, config, specs: Optional[KPFCNNSpecs] = None):
+    """Initialize all parameters. Returns (params, state, specs).
+
+    Every KPConv shares the same cached unit disposition scaled to its
+    radius (reference: blocks.py:222-235 regenerates per conv via
+    load_kernels; with deterministic loading these coincide).
+    """
+    specs = specs or make_kpfcnn_specs(config)
+    unit_kp = load_kernels(
+        1.0, config.num_kernel_points, dimension=config.in_points_dim,
+        fixed=config.fixed_kernel_points,
+        deterministic=config.deterministic_kernel_points,
+        seed=config.seed,
+    )
+    params: Dict[str, list] = {"encoder": [], "decoder": []}
+    state: Dict[str, list] = {"encoder": [], "decoder": []}
+    n_blocks = len(specs.encoder) + len(specs.decoder)
+    keys = jax.random.split(key, n_blocks)
+    ki = 0
+    for part, blocks in (("encoder", specs.encoder), ("decoder", specs.decoder)):
+        for spec in blocks:
+            kp = unit_kp * spec.radius
+            p, s = init_block(keys[ki], spec, config, kp)
+            params[part].append(p)
+            state[part].append(s)
+            ki += 1
+    return params, state, specs
+
+
+class KPFCNNOutput(NamedTuple):
+    features: jax.Array  # [C0, output_dim] L2-normalized descriptors
+    scores: jax.Array    # [C0, 1] detection scores
+    raw_features: jax.Array  # pre-normalization descriptors
+
+
+def detection_scores(batch, features: jax.Array, *, train: bool) -> jax.Array:
+    """Parameter-free detector head (reference: architectures.py:322-368)."""
+    neighbor = batch["neighbors"][0]  # [C0, K0], shadow = C0
+    f = features
+    # global-max normalization: the reference max runs over the stacked
+    # features incl. a zero shadow row; padded rows here are zero, so the
+    # plain global max is identical (architectures.py:342).
+    f = f / (jnp.max(f) + 1e-6)
+    f_ext = jnp.concatenate([f, jnp.zeros((1, f.shape[1]), f.dtype)], axis=0)
+    neighbor_features = jnp.take(f_ext, neighbor, axis=0)  # [C0, K0, D]
+
+    nf_sum = jnp.sum(neighbor_features, axis=-1)  # [C0, K0]
+    neighbor_num = jnp.sum(nf_sum != 0.0, axis=-1, keepdims=True)
+    neighbor_num = jnp.maximum(neighbor_num, 1).astype(f.dtype)
+    mean_features = jnp.sum(neighbor_features, axis=1) / neighbor_num
+    local_max_score = jax.nn.softplus(f - mean_features)  # [C0, D]
+
+    depth_wise_max = jnp.max(f, axis=1, keepdims=True)
+    depth_wise_max_score = f / (1e-6 + depth_wise_max)
+
+    all_scores = local_max_score * depth_wise_max_score
+    scores = jnp.max(all_scores, axis=1, keepdims=True)  # [C0, 1]
+
+    if not train:
+        local_max = jnp.max(neighbor_features, axis=1)  # [C0, D]
+        is_local_max = (f == local_max).astype(f.dtype)
+        detected = jnp.max(is_local_max, axis=1, keepdims=True)
+        scores = scores * detected
+    return scores
+
+
+def apply_kpfcnn(
+    params,
+    state,
+    batch,
+    config,
+    specs: KPFCNNSpecs,
+    *,
+    train: bool = False,
+    compute_dtype=jnp.float32,
+):
+    """Forward pass. Returns (KPFCNNOutput, new_state, aux_list)."""
+    x = batch["features"].astype(jnp.float32)
+    mask0 = batch["masks"][0]
+    x = x * mask0[:, None]  # padding features zero
+
+    new_state = {"encoder": [], "decoder": []}
+    auxes = []
+    skips = []
+    for i, spec in enumerate(specs.encoder):
+        if i in specs.encoder_skips:
+            skips.append(x)
+        x, s, aux = apply_block(
+            params["encoder"][i], state["encoder"][i], spec, x, batch, config,
+            train=train, compute_dtype=compute_dtype,
+        )
+        new_state["encoder"].append(s)
+        if aux is not None and aux.min_d2 is not None:
+            auxes.append(aux)
+
+    for i, spec in enumerate(specs.decoder):
+        if i in specs.decoder_concats:
+            x = jnp.concatenate([x, skips.pop()], axis=1)
+        x, s, aux = apply_block(
+            params["decoder"][i], state["decoder"][i], spec, x, batch, config,
+            train=train, compute_dtype=compute_dtype,
+        )
+        new_state["decoder"].append(s)
+        if aux is not None and aux.min_d2 is not None:
+            auxes.append(aux)
+
+    x = x * mask0[:, None]  # keep padding rows zero for the detector head
+    scores = detection_scores(batch, x, train=train)
+    # safe L2 normalize: zero rows (padding) stay zero with finite gradients
+    # (sqrt at 0 has an unbounded derivative; guard with the double-where)
+    norm2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    norm2_safe = jnp.where(norm2 > 0.0, norm2, 1.0)
+    features = jnp.where(norm2 > 0.0, x * jax.lax.rsqrt(norm2_safe), 0.0)
+
+    return KPFCNNOutput(features=features, scores=scores, raw_features=x), new_state, auxes

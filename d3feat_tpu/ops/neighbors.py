@@ -1,0 +1,162 @@
+"""On-device fixed-width radius neighbor search.
+
+TPU-native replacement for the reference's nanoflann KD-tree radius search
+(reference: cpp_wrappers/cpp_neighbors/neighbors/neighbors.cpp:211-332).
+Semantics reproduced exactly:
+
+* each query row gets up to ``max_k`` support indices within ``radius``,
+  **sorted ascending by distance** (load-bearing downstream: nearest-
+  upsampling reads column 0 only, reference models/blocks.py:79-91 and
+  neighbors.cpp:265 ``search_params.sorted = true``);
+* unused slots carry the shadow index == number of support rows
+  (reference: neighbors.cpp:324), which downstream ops map to a zero
+  feature row / +1e6 coordinate;
+* queries and supports from different clouds of the stacked batch never
+  match (the reference searches per-batch KD-trees).
+
+Instead of a tree, the search is a tiled dense computation that maps onto
+the MXU: squared distances for a tile of queries against all supports via
+one matmul, then ``lax.top_k`` of the negated distances, which yields the
+ascending-by-distance ordering for free. The tile loop is a ``lax.map`` so
+peak memory is one [tile, S] panel regardless of N.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from d3feat_tpu.ops.subsample import lengths_to_cloud_ids
+
+_INF = jnp.float32(3.0e38)
+
+
+@functools.partial(jax.jit, static_argnames=("max_k", "num_clouds", "query_tile"))
+def radius_neighbors(
+    queries: jax.Array,
+    supports: jax.Array,
+    q_lengths: jax.Array,
+    s_lengths: jax.Array,
+    radius: jax.Array | float,
+    *,
+    max_k: int,
+    num_clouds: int,
+    query_tile: int = 1024,
+) -> jax.Array:
+    """[Nq, max_k] int32 support indices within ``radius``, distance-sorted.
+
+    Args:
+      queries: [Nq, 3] stacked contiguous clouds (padding tail rows ignored).
+      supports: [Ns, 3] same layout.
+      q_lengths / s_lengths: [num_clouds] int32 valid counts.
+      radius: search radius (scalar).
+      max_k: static neighbor-list width (the calibrated per-layer cap,
+        reference datasets/dataloader.py:64-65).
+      num_clouds: static stacked-cloud count.
+      query_tile: static tile size for the query loop.
+
+    Returns:
+      Neighbor index matrix; rows of invalid (padding) queries are all
+      shadow. Shadow index == supports.shape[0].
+    """
+    nq, ns = queries.shape[0], supports.shape[0]
+    shadow = jnp.int32(ns)
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+
+    q_cid = lengths_to_cloud_ids(q_lengths, nq)
+    s_cid = lengths_to_cloud_ids(s_lengths, ns)
+    q_valid = q_cid < num_clouds
+    s_valid = s_cid < num_clouds
+    # invalid queries get id -1 so they can never equal an (invalid) support id
+    q_cid = jnp.where(q_valid, q_cid, -1)
+
+    # Stabilize the |q|^2 - 2q.s + |s|^2 expansion by centering on the scene.
+    total_q = jnp.maximum(jnp.sum(q_lengths), 1).astype(jnp.float32)
+    center = jnp.sum(jnp.where(q_valid[:, None], queries, 0.0), axis=0) / total_q
+    qc = (queries - center).astype(jnp.float32)
+    sc = (supports - center).astype(jnp.float32)
+    # Keep padding coordinates bounded so fp32 products stay exact-ish.
+    qc = jnp.where(q_valid[:, None], qc, 0.0)
+    sc = jnp.where(s_valid[:, None], sc, 0.0)
+
+    s_sq = jnp.sum(sc * sc, axis=1)  # [Ns]
+    k = min(max_k, ns)
+
+    pad = (-nq) % query_tile
+    qc_p = jnp.pad(qc, ((0, pad), (0, 0)))
+    qcid_p = jnp.pad(q_cid, (0, pad), constant_values=-1)
+    n_tiles = qc_p.shape[0] // query_tile
+    qc_t = qc_p.reshape(n_tiles, query_tile, 3)
+    qcid_t = qcid_p.reshape(n_tiles, query_tile)
+
+    def one_tile(args):
+        qt, qt_cid = args  # [T, 3], [T]
+        q_sq = jnp.sum(qt * qt, axis=1)
+        d2 = (q_sq[:, None] - 2.0 * (qt @ sc.T) + s_sq[None, :])  # [T, Ns]
+        same = qt_cid[:, None] == s_cid[None, :]
+        d2 = jnp.where(same, d2, _INF)
+        _, idx = jax.lax.top_k(-d2, k)  # candidate set, roughly ascending
+        # Exact re-rank: the matmul expansion loses ~1e-6 absolute precision,
+        # enough to swap near-equal distances. Recompute |q-s|^2 exactly for
+        # the k candidates and sort, so row ordering and the radius test match
+        # the reference's exact arithmetic (neighbors.cpp:265 sorted=true).
+        cand = jnp.take(sc, idx, axis=0)  # [T, k, 3]
+        diff = cand - qt[:, None, :]
+        d2e = jnp.sum(diff * diff, axis=-1)  # [T, k]
+        keep = jnp.take_along_axis(same, idx, axis=1) & (d2e <= r2)
+        d2e = jnp.where(keep, d2e, _INF)
+        rank = jnp.argsort(d2e, axis=1)
+        idx = jnp.take_along_axis(idx, rank, axis=1)
+        keep = jnp.take_along_axis(keep, rank, axis=1)
+        idx = jnp.where(keep, idx, shadow)
+        return idx.astype(jnp.int32)
+
+    out = jax.lax.map(one_tile, (qc_t, qcid_t))  # [n_tiles, T, k]
+    out = out.reshape(n_tiles * query_tile, k)[:nq]
+    if k < max_k:
+        out = jnp.pad(out, ((0, 0), (0, max_k - k)), constant_values=ns)
+    return out
+
+
+def count_in_radius(
+    queries: jax.Array,
+    supports: jax.Array,
+    q_lengths: jax.Array,
+    s_lengths: jax.Array,
+    radius: jax.Array | float,
+    *,
+    num_clouds: int,
+    query_tile: int = 1024,
+) -> jax.Array:
+    """[Nq] int32 number of supports within ``radius`` of each query.
+
+    Used by offline neighbor-cap calibration (the static analogue of the
+    reference's histogram calibration, datasets/dataloader.py:191-223).
+    """
+    nq, ns = queries.shape[0], supports.shape[0]
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+    q_cid = lengths_to_cloud_ids(q_lengths, nq)
+    q_cid = jnp.where(q_cid < num_clouds, q_cid, -1)
+    s_cid = lengths_to_cloud_ids(s_lengths, ns)
+
+    pad = (-nq) % query_tile
+    q_p = jnp.pad(queries.astype(jnp.float32), ((0, pad), (0, 0)))
+    qcid_p = jnp.pad(q_cid, (0, pad), constant_values=-1)
+    n_tiles = q_p.shape[0] // query_tile
+    sc = supports.astype(jnp.float32)
+    s_sq = jnp.sum(sc * sc, axis=1)
+
+    def one_tile(args):
+        qt, qt_cid = args
+        q_sq = jnp.sum(qt * qt, axis=1)
+        d2 = q_sq[:, None] - 2.0 * (qt @ sc.T) + s_sq[None, :]
+        ok = (qt_cid[:, None] == s_cid[None, :]) & (d2 <= r2)
+        return jnp.sum(ok, axis=1).astype(jnp.int32)
+
+    out = jax.lax.map(
+        one_tile,
+        (q_p.reshape(n_tiles, query_tile, 3), qcid_p.reshape(n_tiles, query_tile)),
+    )
+    return out.reshape(-1)[:nq]

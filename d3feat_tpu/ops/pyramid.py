@@ -1,0 +1,165 @@
+"""On-device multi-scale pyramid construction.
+
+One jitted XLA program replacing the reference's CPU collate pipeline
+(reference: datasets/dataloader.py:69-189), which called the C++ grid
+subsampler and nanoflann radius search inside every DataLoader worker (the
+documented bottleneck: 353 s / 1000 batches single-worker,
+dataloader.py:273). Here the full 5-level structure — per-level points,
+conv neighbors, pool neighbors, nearest-upsample indices and stack lengths —
+is built on the TPU from the raw stacked clouds.
+
+Radius schedule (matching dataloader.py:88-171):
+  r_0 = first_subsampling_dl * conv_radius, doubling per level;
+  subsample voxel at level l -> l+1: dl = 2 * r_l / conv_radius;
+  pool neighbors at r_l, upsample (nearest) at 2 * r_l;
+  deformable layers scale the search radius by deform_radius / conv_radius.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from d3feat_tpu.ops.neighbors import radius_neighbors
+from d3feat_tpu.ops.subsample import voxel_subsample, lengths_to_mask
+
+
+@dataclass(frozen=True)
+class PyramidSpec:
+    """Static description of the pyramid (hashable => usable as jit static)."""
+
+    num_levels: int
+    first_subsampling_dl: float
+    conv_radius: float
+    point_caps: Tuple[int, ...]      # [L] per-level point capacity
+    neighbor_caps: Tuple[int, ...]   # [L] per-level neighbor width
+    conv_r_scale: Tuple[float, ...]  # [L] 1.0 or deform_radius/conv_radius
+    pool_r_scale: Tuple[float, ...]  # [L-1 used] same, for strided blocks
+    num_clouds: int = 2
+    query_tile: int = 1024
+
+    @property
+    def radii(self) -> Tuple[float, ...]:
+        r0 = self.first_subsampling_dl * self.conv_radius
+        return tuple(r0 * (2.0**l) for l in range(self.num_levels))
+
+
+def make_pyramid_spec(config, num_clouds: int = 2) -> PyramidSpec:
+    """Derive the static pyramid spec from a config + its architecture list.
+
+    Walks the block list the way the reference collate does
+    (dataloader.py:101-173) to decide, per level, whether the conv and pool
+    searches use the deformable radius.
+    """
+    arch = config.architecture()
+    deform_scale = config.deform_radius / config.conv_radius
+    conv_scale: List[float] = []
+    pool_scale: List[float] = []
+    layer_blocks: List[str] = []
+    for block_i, block in enumerate(arch):
+        if "global" in block or "upsample" in block:
+            break
+        if not ("pool" in block or "strided" in block):
+            layer_blocks.append(block)
+            if block_i < len(arch) - 1 and "upsample" not in arch[block_i + 1]:
+                continue
+        if layer_blocks and any("deformable" in b for b in layer_blocks[:-1]):
+            conv_scale.append(deform_scale)
+        else:
+            conv_scale.append(1.0)
+        if "pool" in block or "strided" in block:
+            pool_scale.append(deform_scale if "deformable" in block else 1.0)
+        layer_blocks = []
+    num_levels = len(conv_scale)
+    caps = config.caps
+    if caps.num_levels < num_levels:
+        raise ValueError(
+            f"caps define {caps.num_levels} levels but architecture needs {num_levels}"
+        )
+    return PyramidSpec(
+        num_levels=num_levels,
+        first_subsampling_dl=config.first_subsampling_dl,
+        conv_radius=config.conv_radius,
+        point_caps=tuple(caps.points[:num_levels]),
+        neighbor_caps=tuple(caps.neighbors[:num_levels]),
+        conv_r_scale=tuple(conv_scale),
+        pool_r_scale=tuple(pool_scale) + (1.0,) * (num_levels - len(pool_scale)),
+        num_clouds=num_clouds,
+        query_tile=config.query_tile,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def build_pyramid(
+    points: jax.Array,
+    lengths: jax.Array,
+    *,
+    spec: PyramidSpec,
+) -> Dict[str, list]:
+    """Build the full multi-scale structure for one stacked batch.
+
+    Args:
+      points: [C0, 3] stacked contiguous clouds, padded to spec.point_caps[0].
+      lengths: [num_clouds] int32 valid counts.
+
+    Returns a dict of per-level lists (mirroring the reference input dict,
+    dataloader.py:178-187):
+      points[l]    [C_l, 3]      shadow-padded coordinates
+      neighbors[l] [C_l, K_l]    conv neighbor indices (shadow = C_l)
+      pools[l]     [C_{l+1}, K_l] strided conv/pool indices into level l
+      upsamples[l] [C_l, 1]      nearest level-(l+1) cell per level-l point
+      lengths[l]   [B]           per-cloud valid counts
+      masks[l]     [C_l]         validity
+    """
+    if points.shape[0] != spec.point_caps[0]:
+        raise ValueError(
+            f"points capacity {points.shape[0]} != spec {spec.point_caps[0]}"
+        )
+    L = spec.num_levels
+    r0 = spec.first_subsampling_dl * spec.conv_radius
+
+    out: Dict[str, list] = {
+        "points": [], "neighbors": [], "pools": [], "upsamples": [],
+        "lengths": [], "masks": [],
+    }
+    pts, lens = points.astype(jnp.float32), lengths.astype(jnp.int32)
+    overflow = jnp.zeros((), bool)
+    for l in range(L):
+        r = r0 * (2.0**l)
+        out["points"].append(pts)
+        out["lengths"].append(lens)
+        out["masks"].append(lengths_to_mask(lens, pts.shape[0]))
+        out["neighbors"].append(
+            radius_neighbors(
+                pts, pts, lens, lens, r * spec.conv_r_scale[l],
+                max_k=spec.neighbor_caps[l], num_clouds=spec.num_clouds,
+                query_tile=spec.query_tile,
+            )
+        )
+        if l + 1 < L:
+            sub = voxel_subsample(
+                pts, lens, 2.0 * r / spec.conv_radius,
+                out_capacity=spec.point_caps[l + 1], num_clouds=spec.num_clouds,
+            )
+            overflow = overflow | sub.overflow
+            out["pools"].append(
+                radius_neighbors(
+                    sub.points, pts, sub.lengths, lens, r * spec.pool_r_scale[l],
+                    max_k=spec.neighbor_caps[l], num_clouds=spec.num_clouds,
+                    query_tile=spec.query_tile,
+                )
+            )
+            out["upsamples"].append(
+                radius_neighbors(
+                    pts, sub.points, lens, sub.lengths, 2.0 * r,
+                    max_k=1, num_clouds=spec.num_clouds,
+                    query_tile=spec.query_tile,
+                )
+            )
+            pts, lens = sub.points, sub.lengths
+    out["overflow"] = overflow
+    return out
