@@ -1,0 +1,78 @@
+"""Headline benchmark: 3DMatch-style fragment descriptor+score extraction.
+
+Measures end-to-end fragments/sec through the full flagship pipeline on one
+TPU chip: on-device multi-scale pyramid build (voxel subsample + radius
+neighbors, 5 levels) + KPFCNN forward (descriptors + detection scores) on
+realistic fragment sizes (~15k points ≈ a 3DMatch fragment at 0.03 m voxel
+downsampling).
+
+Baseline: the reference's CPU data pipeline alone (no network forward)
+sustains ≈13.7 batches/s with 10 DataLoader worker processes
+(reference: datasets/dataloader.py:274); its forward pass then runs
+separately on GPU. Here pyramid AND forward together run in one XLA program.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "fragments/s", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BASELINE_FRAGMENTS_PER_S = 13.7  # reference CPU collate, 10 workers
+
+N_POINTS = 15000      # realistic post-downsample 3DMatch fragment
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    from d3feat_tpu.config import D3FeatConfig, PyramidCaps
+    from d3feat_tpu.data.pack import pack_single
+    from d3feat_tpu.data.synthetic import synthetic_fragment
+    from d3feat_tpu.train.step import init_train_state, make_extract_step
+
+    cfg = D3FeatConfig()
+    cfg.caps = PyramidCaps(
+        points=(16384, 8192, 2048, 768, 256),
+        neighbors=(40, 40, 40, 40, 40),
+        corr=128,
+    )
+    cfg.query_tile = 2048
+
+    ts, specs = init_train_state(jax.random.key(0), cfg)
+    extract = jax.jit(make_extract_step(cfg, specs))
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(4):
+        pts = synthetic_fragment(rng, N_POINTS, extent=3.0)
+        b = pack_single(pts, np.ones((N_POINTS, 1), np.float32),
+                        point_capacity=cfg.caps.points[0])
+        batches.append({k: jnp.asarray(v) for k, v in b.items()})
+
+    for i in range(WARMUP):
+        out = extract(ts.params, ts.model_state, batches[i % len(batches)])
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = extract(ts.params, ts.model_state, batches[i % len(batches)])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = ITERS / dt
+    print(json.dumps({
+        "metric": "fragment_extraction_throughput",
+        "value": round(fps, 3),
+        "unit": "fragments/s",
+        "vs_baseline": round(fps / BASELINE_FRAGMENTS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

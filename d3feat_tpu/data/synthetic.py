@@ -30,6 +30,41 @@ def synthetic_fragment(
     return (pts + rng.normal(0.0, noise, pts.shape)).astype(np.float32)
 
 
+class SyntheticPairDataset:
+    """Loader-compatible dataset of synthetic overlapping pairs.
+
+    Mirrors the interface of
+    :class:`d3feat_tpu.data.threedmatch.ThreeDMatchPairDataset` (``__len__``
+    + ``packed``) so the trainer/loader stack can run hermetically.
+    """
+
+    def __init__(self, size: int = 16, n_points: int = 400, num_corr: int = 24,
+                 extent: float = 2.0, seed: int = 0, **augment_kwargs):
+        self.size = size
+        self.n_points = n_points
+        self.num_corr = num_corr
+        self.extent = extent
+        self.seed = seed
+        self.augment_kwargs = augment_kwargs
+
+    def __len__(self) -> int:
+        return self.size
+
+    def packed(self, index: int, *, point_capacity: int, corr_capacity: int):
+        from d3feat_tpu.data.pack import pack_pair
+
+        rng = np.random.default_rng(self.seed * 100003 + index)
+        pts0, pts1, corr, dk = synthetic_pair(
+            rng, n_points=self.n_points, num_corr=self.num_corr,
+            extent=self.extent, **self.augment_kwargs,
+        )
+        ones = np.ones((self.n_points, 1), np.float32)
+        return pack_pair(
+            pts0, pts1, ones, ones, corr, dk,
+            point_capacity=point_capacity, corr_capacity=corr_capacity,
+        )
+
+
 def synthetic_pair(
     rng: np.random.Generator,
     n_points: int = 4096,
