@@ -84,6 +84,7 @@ class D3FeatConfig:
     deformable: bool = False
     modulated: bool = False
     output_dim: int = 32  # descriptor dim (hard-coded 32 at reference blocks.py:406)
+    num_classes: int = 40  # KPCNN classification head width (reference: architectures.py:119)
 
     # --- loss (reference: config.py:50-59) ---
     dist_type: str = "euclidean"
@@ -129,6 +130,9 @@ class D3FeatConfig:
     data_axis: str = "data"  # mesh axis name for data parallelism
     num_devices: int = 1  # data-parallel width (pairs processed per step)
     query_tile: int = 1024  # neighbor-search query tile size
+    use_grid_neighbors: bool = False  # cell-grid radius search; measured slower than
+    # the brute matmul+top_k path on TPU v5e (gathers are VPU-bound): 188-319ms vs 89ms at 16k
+    cell_capacity: int = 32  # candidates per grid cell in the grid search
     use_pallas: bool = True  # use Pallas kernels where available (TPU only)
     seed: int = 0
     deterministic_kernel_points: bool = True  # disable load-time rotation/jitter

@@ -17,3 +17,11 @@ from d3feat_tpu.models.kpfcnn import (  # noqa: F401
     init_kpfcnn,
     make_kpfcnn_specs,
 )
+from d3feat_tpu.models.kpcnn import (  # noqa: F401
+    KPCNNSpecs,
+    apply_kpcnn,
+    init_kpcnn,
+    kpcnn_accuracy,
+    kpcnn_loss,
+    make_kpcnn_specs,
+)

@@ -5,5 +5,9 @@ from d3feat_tpu.ops.subsample import (  # noqa: F401
     lengths_to_mask,
     voxel_subsample,
 )
-from d3feat_tpu.ops.neighbors import radius_neighbors, count_in_radius  # noqa: F401
+from d3feat_tpu.ops.neighbors import (  # noqa: F401
+    count_in_radius,
+    radius_neighbors,
+    radius_neighbors_grid,
+)
 from d3feat_tpu.ops.pyramid import PyramidSpec, build_pyramid, make_pyramid_spec  # noqa: F401

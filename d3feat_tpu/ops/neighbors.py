@@ -120,6 +120,146 @@ def radius_neighbors(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_k", "num_clouds", "query_tile", "cell_capacity"),
+)
+def radius_neighbors_grid(
+    queries: jax.Array,
+    supports: jax.Array,
+    q_lengths: jax.Array,
+    s_lengths: jax.Array,
+    radius: jax.Array | float,
+    *,
+    max_k: int,
+    num_clouds: int,
+    query_tile: int = 1024,
+    cell_capacity: int = 32,
+) -> tuple[jax.Array, jax.Array]:
+    """Cell-grid radius search: same contract as :func:`radius_neighbors`,
+    O(local density) per query instead of O(Ns).
+
+    Supports are bucketed into cubic cells of edge ``radius`` (the uniform
+    grid a TPU prefers over the reference's per-cloud KD-trees,
+    neighbors.cpp:211-332): sort by packed (cloud, z, y, x) cell key once,
+    then each query binary-searches its 27 neighboring cells and ranks at
+    most ``27 * cell_capacity`` exact-arithmetic candidates — versus ranking
+    all Ns in the brute path. Cells hold at most ``cell_capacity``
+    candidates; the returned ``overflow`` flag reports if any occupied cell
+    exceeded that (increase the capacity — dropped candidates would
+    otherwise silently weaken neighbor lists).
+
+    Returns (neighbors [Nq, max_k] int32, overflow []).
+    """
+    nq, ns = queries.shape[0], supports.shape[0]
+    shadow = jnp.int32(ns)
+    r = jnp.asarray(radius, jnp.float32)
+    r2 = r * r
+
+    q_cid = lengths_to_cloud_ids(q_lengths, nq)
+    s_cid = lengths_to_cloud_ids(s_lengths, ns)
+    q_valid = q_cid < num_clouds
+    s_valid = s_cid < num_clouds
+
+    # Joint per-cloud origin so query and support cell coords align.
+    def seg_min(pts, cid, valid):
+        big = jnp.float32(3.0e37)
+        masked = jnp.where(valid[:, None], pts, big)
+        return jax.ops.segment_min(
+            masked, jnp.minimum(cid, num_clouds - 1), num_segments=num_clouds
+        )
+
+    origin = jnp.minimum(
+        seg_min(queries, q_cid, q_valid), seg_min(supports, s_cid, s_valid)
+    )  # [B, 3]
+
+    _AX = 1024  # cells per axis (10 bits); scans are far smaller than AX * r
+
+    def cell_of(pts, cid, valid):
+        o = origin[jnp.minimum(cid, num_clouds - 1)]
+        c = jnp.floor((pts - o) / r).astype(jnp.int32)
+        # +1 so a query's "-1" probe offset stays in range without clamping
+        c = jnp.clip(c + 1, 0, _AX - 1)
+        return jnp.where(valid[:, None], c, _AX - 1)
+
+    s_cell = cell_of(supports, s_cid, s_valid)
+
+    def pack(cid, cell):
+        k = cid.astype(jnp.uint32)
+        for ax in range(3):
+            k = k * _AX + cell[:, ax].astype(jnp.uint32)
+        return k
+
+    s_key = pack(jnp.where(s_valid, s_cid, num_clouds), s_cell)
+    order = jnp.argsort(s_key)
+    sk = s_key[order]                      # [Ns] sorted cell keys
+    sp = supports[order].astype(jnp.float32)
+    sidx = order.astype(jnp.int32)
+
+    # cell-occupancy overflow detection (run lengths of the sorted keys)
+    is_first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    run_id = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    run_len = jax.ops.segment_sum(
+        s_valid[order].astype(jnp.int32), run_id, num_segments=ns
+    )
+    overflow = jnp.max(run_len) > cell_capacity
+
+    q_cell = cell_of(queries, q_cid, q_valid)
+    q_key_cid = jnp.where(q_valid, q_cid, num_clouds + 1)  # never matches
+
+    offs = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), axis=-1
+    ).reshape(27, 3)  # [27, 3]
+
+    m = cell_capacity
+    pad = (-nq) % query_tile
+    qc_p = jnp.pad(q_cell, ((0, pad), (0, 0)))
+    qcid_p = jnp.pad(q_key_cid, (0, pad), constant_values=num_clouds + 1)
+    qp_p = jnp.pad(queries.astype(jnp.float32), ((0, pad), (0, 0)))
+    n_tiles = qc_p.shape[0] // query_tile
+
+    def one_tile(args):
+        qc, qcid, qp = args  # [T,3] int32, [T], [T,3] f32
+        ncell = qc[:, None, :] + offs[None, :, :]           # [T, 27, 3]
+        key = qcid[:, None].astype(jnp.uint32)
+        for ax in range(3):
+            key = key * _AX + ncell[:, :, ax].astype(jnp.uint32)
+        start = jnp.searchsorted(sk, key.reshape(-1)).reshape(key.shape)
+        pos = start[:, :, None] + jnp.arange(m)[None, None, :]  # [T,27,m]
+        pos_c = jnp.minimum(pos, ns - 1)
+        hit = (jnp.take(sk, pos_c.reshape(-1)).reshape(pos.shape)
+               == key[:, :, None]) & (pos < ns)
+        cand = jnp.take(sp, pos_c.reshape(-1), axis=0).reshape(
+            query_tile, 27 * m, 3
+        )
+        hit = hit.reshape(query_tile, 27 * m)
+        diff = cand - qp[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)                   # [T, 27m]
+        d2 = jnp.where(hit & (d2 <= r2), d2, _INF)
+        k = min(max_k, 27 * m)
+        neg, sel = jax.lax.top_k(-d2, k)                     # ascending d2
+        keep = neg > -_INF
+        cand_idx = jnp.take(sidx, jnp.minimum(pos_c.reshape(
+            query_tile, 27 * m), ns - 1), axis=0)
+        idx = jnp.take_along_axis(
+            cand_idx.reshape(query_tile, 27 * m), sel, axis=1
+        )
+        idx = jnp.where(keep, idx, shadow)
+        if k < max_k:
+            idx = jnp.pad(idx, ((0, 0), (0, max_k - k)), constant_values=ns)
+        return idx.astype(jnp.int32)
+
+    out = jax.lax.map(
+        one_tile,
+        (
+            qc_p.reshape(n_tiles, query_tile, 3),
+            qcid_p.reshape(n_tiles, query_tile),
+            qp_p.reshape(n_tiles, query_tile, 3),
+        ),
+    )
+    return out.reshape(-1, max_k)[:nq], overflow
+
+
 def count_in_radius(
     queries: jax.Array,
     supports: jax.Array,

@@ -24,7 +24,7 @@ from typing import Dict, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from d3feat_tpu.ops.neighbors import radius_neighbors
+from d3feat_tpu.ops.neighbors import radius_neighbors, radius_neighbors_grid
 from d3feat_tpu.ops.subsample import voxel_subsample, lengths_to_mask
 
 
@@ -41,6 +41,8 @@ class PyramidSpec:
     pool_r_scale: Tuple[float, ...]  # [L-1 used] same, for strided blocks
     num_clouds: int = 2
     query_tile: int = 1024
+    use_grid: bool = False      # cell-grid search (measured slower on TPU)
+    cell_capacity: int = 32     # candidates kept per grid cell
 
     @property
     def radii(self) -> Tuple[float, ...]:
@@ -90,6 +92,8 @@ def make_pyramid_spec(config, num_clouds: int = 2) -> PyramidSpec:
         pool_r_scale=tuple(pool_scale) + (1.0,) * (num_levels - len(pool_scale)),
         num_clouds=num_clouds,
         query_tile=config.query_tile,
+        use_grid=getattr(config, "use_grid_neighbors", False),
+        cell_capacity=getattr(config, "cell_capacity", 32),
     )
 
 
@@ -128,17 +132,29 @@ def build_pyramid(
     }
     pts, lens = points.astype(jnp.float32), lengths.astype(jnp.int32)
     overflow = jnp.zeros((), bool)
+
+    def search(q, s, ql, sl, r, k):
+        nonlocal overflow
+        if spec.use_grid:
+            idx, ov = radius_neighbors_grid(
+                q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
+                query_tile=spec.query_tile, cell_capacity=spec.cell_capacity,
+            )
+            overflow = overflow | ov
+            return idx
+        return radius_neighbors(
+            q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
+            query_tile=spec.query_tile,
+        )
+
     for l in range(L):
         r = r0 * (2.0**l)
         out["points"].append(pts)
         out["lengths"].append(lens)
         out["masks"].append(lengths_to_mask(lens, pts.shape[0]))
         out["neighbors"].append(
-            radius_neighbors(
-                pts, pts, lens, lens, r * spec.conv_r_scale[l],
-                max_k=spec.neighbor_caps[l], num_clouds=spec.num_clouds,
-                query_tile=spec.query_tile,
-            )
+            search(pts, pts, lens, lens, r * spec.conv_r_scale[l],
+                   spec.neighbor_caps[l])
         )
         if l + 1 < L:
             sub = voxel_subsample(
@@ -147,18 +163,11 @@ def build_pyramid(
             )
             overflow = overflow | sub.overflow
             out["pools"].append(
-                radius_neighbors(
-                    sub.points, pts, sub.lengths, lens, r * spec.pool_r_scale[l],
-                    max_k=spec.neighbor_caps[l], num_clouds=spec.num_clouds,
-                    query_tile=spec.query_tile,
-                )
+                search(sub.points, pts, sub.lengths, lens,
+                       r * spec.pool_r_scale[l], spec.neighbor_caps[l])
             )
             out["upsamples"].append(
-                radius_neighbors(
-                    pts, sub.points, lens, sub.lengths, 2.0 * r,
-                    max_k=1, num_clouds=spec.num_clouds,
-                    query_tile=spec.query_tile,
-                )
+                search(pts, sub.points, lens, sub.lengths, 2.0 * r, 1)
             )
             pts, lens = sub.points, sub.lengths
     out["overflow"] = overflow
