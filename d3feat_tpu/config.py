@@ -130,8 +130,10 @@ class D3FeatConfig:
     data_axis: str = "data"  # mesh axis name for data parallelism
     num_devices: int = 1  # data-parallel width (pairs processed per step)
     query_tile: int = 1024  # neighbor-search query tile size
-    use_grid_neighbors: bool = False  # cell-grid radius search; measured slower than
-    # the brute matmul+top_k path on TPU v5e (gathers are VPU-bound): 188-319ms vs 89ms at 16k
+    neighbor_search: str = "banded"  # 'brute' | 'banded' | 'grid'; banded sorts by
+    # the longest axis and searches a contiguous support band (TPU-friendly: no
+    # gathers). 'grid' (cell hash) measured SLOWER on TPU v5e: gathers are VPU-bound.
+    band_frac: float = 0.25  # banded: band cap ~ query_tile + frac * level capacity
     cell_capacity: int = 32  # candidates per grid cell in the grid search
     use_pallas: bool = True  # use Pallas kernels where available (TPU only)
     seed: int = 0

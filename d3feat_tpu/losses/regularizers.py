@@ -9,16 +9,17 @@ hinge on pairwise kernel-point distances below ``repulse_extent``.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import TYPE_CHECKING, Sequence
 
 import jax
 import jax.numpy as jnp
 
-from d3feat_tpu.models.kpconv import KPConvAux
+if TYPE_CHECKING:  # avoid a models <-> losses import cycle at runtime
+    from d3feat_tpu.models.kpconv import KPConvAux
 
 
 def p2p_fitting_regularizer(
-    auxes: Sequence[KPConvAux],
+    auxes: "Sequence[KPConvAux]",
     *,
     KP_extent: float,
     repulse_extent: float = 1.2,

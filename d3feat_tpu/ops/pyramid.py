@@ -24,7 +24,11 @@ from typing import Dict, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from d3feat_tpu.ops.neighbors import radius_neighbors, radius_neighbors_grid
+from d3feat_tpu.ops.neighbors import (
+    radius_neighbors,
+    radius_neighbors_banded,
+    radius_neighbors_grid,
+)
 from d3feat_tpu.ops.subsample import voxel_subsample, lengths_to_mask
 
 
@@ -41,13 +45,18 @@ class PyramidSpec:
     pool_r_scale: Tuple[float, ...]  # [L-1 used] same, for strided blocks
     num_clouds: int = 2
     query_tile: int = 1024
-    use_grid: bool = False      # cell-grid search (measured slower on TPU)
-    cell_capacity: int = 32     # candidates kept per grid cell
+    search: str = "banded"      # 'brute' | 'banded' | 'grid'
+    band_caps: Tuple[int, ...] = ()  # [L] per-support-level band width (banded)
+    cell_capacity: int = 32     # candidates kept per grid cell (grid)
 
     @property
     def radii(self) -> Tuple[float, ...]:
         r0 = self.first_subsampling_dl * self.conv_radius
         return tuple(r0 * (2.0**l) for l in range(self.num_levels))
+
+
+def _round_up_256(n: int) -> int:
+    return -(-n // 256) * 256
 
 
 def make_pyramid_spec(config, num_clouds: int = 2) -> PyramidSpec:
@@ -92,7 +101,17 @@ def make_pyramid_spec(config, num_clouds: int = 2) -> PyramidSpec:
         pool_r_scale=tuple(pool_scale) + (1.0,) * (num_levels - len(pool_scale)),
         num_clouds=num_clouds,
         query_tile=config.query_tile,
-        use_grid=getattr(config, "use_grid_neighbors", False),
+        search=getattr(config, "neighbor_search", "banded"),
+        band_caps=tuple(
+            min(
+                int(p),
+                _round_up_256(
+                    config.query_tile
+                    + int(p * getattr(config, "band_frac", 0.25))
+                ),
+            )
+            for p in caps.points[:num_levels]
+        ),
         cell_capacity=getattr(config, "cell_capacity", 32),
     )
 
@@ -133,18 +152,28 @@ def build_pyramid(
     pts, lens = points.astype(jnp.float32), lengths.astype(jnp.int32)
     overflow = jnp.zeros((), bool)
 
-    def search(q, s, ql, sl, r, k):
+    def search(q, s, ql, sl, r, k, s_level):
         nonlocal overflow
-        if spec.use_grid:
+        tile = min(spec.query_tile, q.shape[0])
+        if spec.search == "banded":
+            band = spec.band_caps[s_level] if spec.band_caps else 4096
+            band = min(band, s.shape[0])
+            idx, ov = radius_neighbors_banded(
+                q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
+                query_tile=tile, band_cap=band,
+            )
+            overflow = overflow | ov
+            return idx
+        if spec.search == "grid":
             idx, ov = radius_neighbors_grid(
                 q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
-                query_tile=spec.query_tile, cell_capacity=spec.cell_capacity,
+                query_tile=tile, cell_capacity=spec.cell_capacity,
             )
             overflow = overflow | ov
             return idx
         return radius_neighbors(
             q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
-            query_tile=spec.query_tile,
+            query_tile=tile,
         )
 
     for l in range(L):
@@ -154,7 +183,7 @@ def build_pyramid(
         out["masks"].append(lengths_to_mask(lens, pts.shape[0]))
         out["neighbors"].append(
             search(pts, pts, lens, lens, r * spec.conv_r_scale[l],
-                   spec.neighbor_caps[l])
+                   spec.neighbor_caps[l], l)
         )
         if l + 1 < L:
             sub = voxel_subsample(
@@ -164,10 +193,10 @@ def build_pyramid(
             overflow = overflow | sub.overflow
             out["pools"].append(
                 search(sub.points, pts, sub.lengths, lens,
-                       r * spec.pool_r_scale[l], spec.neighbor_caps[l])
+                       r * spec.pool_r_scale[l], spec.neighbor_caps[l], l)
             )
             out["upsamples"].append(
-                search(pts, sub.points, lens, sub.lengths, 2.0 * r, 1)
+                search(pts, sub.points, lens, sub.lengths, 2.0 * r, 1, l + 1)
             )
             pts, lens = sub.points, sub.lengths
     out["overflow"] = overflow

@@ -97,3 +97,74 @@ def test_grid_cross_cloud_isolation():
     assert (((second >= 120) & (second < 240)) | (second == cap)).all()
     # padding queries all shadow
     assert (out[240:] == cap).all()
+
+
+# ---------------------------------------------------------------------------
+# banded variant
+# ---------------------------------------------------------------------------
+
+from d3feat_tpu.ops.neighbors import radius_neighbors_banded
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_banded_matches_numpy(seed):
+    rng = np.random.default_rng(seed)
+    n0, n1 = 240, 190
+    # anisotropic extents so the longest-axis choice matters
+    pts = np.concatenate([
+        rng.uniform(0, 1, size=(n0, 3)) * np.array([4.0, 1.0, 0.5]),
+        rng.uniform(0, 1, size=(n1, 3)) * np.array([0.5, 3.0, 1.0]),
+    ]).astype(np.float32)
+    lens = np.array([n0, n1], np.int32)
+    cap = 512
+    r, k = 0.45, 12
+    got, ov = radius_neighbors_banded(
+        jnp.asarray(_pad(pts, cap)), jnp.asarray(_pad(pts, cap)),
+        jnp.asarray(lens), jnp.asarray(lens), r,
+        max_k=k, num_clouds=2, query_tile=64, band_cap=512,
+    )
+    assert not bool(ov)
+    got = np.asarray(got)[: len(pts)]
+    ref = np_radius_neighbors(pts, pts, lens, lens, r, k)
+    got = np.where(got == cap, len(pts), got)
+    _row_sets_equal(got, ref, len(pts), len(pts))
+    for i in range(len(pts)):
+        valid = got[i][got[i] < len(pts)]
+        d = np.linalg.norm(pts[valid] - pts[i], axis=1)
+        assert (np.diff(d) >= -1e-6).all()
+
+
+def test_banded_overflow_flag():
+    rng = np.random.default_rng(6)
+    # all points in one bin along every axis -> band must cover everything
+    pts = (rng.uniform(0, 1, size=(300, 3)) * 0.05).astype(np.float32)
+    lens = np.array([300, 0], np.int32)
+    cap = 512
+    _, ov = radius_neighbors_banded(
+        jnp.asarray(_pad(pts, cap)), jnp.asarray(_pad(pts, cap)),
+        jnp.asarray(lens), jnp.asarray(lens), 0.1,
+        max_k=8, num_clouds=2, query_tile=64, band_cap=128,
+    )
+    assert bool(ov)
+
+
+def test_banded_matches_brute_on_fragment():
+    from d3feat_tpu.data.synthetic import synthetic_fragment
+
+    rng = np.random.default_rng(7)
+    pts = synthetic_fragment(rng, 1200, extent=3.0)
+    lens = np.array([1200, 0], np.int32)
+    cap = 2048
+    # k above the densest neighborhood so no truncation: truncated rows may
+    # legitimately differ at the k-th boundary between near-tied distances
+    r, k = 0.075 * 4, 96
+    args = (jnp.asarray(_pad(pts, cap)), jnp.asarray(_pad(pts, cap)),
+            jnp.asarray(lens), jnp.asarray(lens), r)
+    brute = np.asarray(radius_neighbors(
+        *args, max_k=k, num_clouds=2, query_tile=256))[:1200]
+    assert (brute[:, -1] == cap).all(), "raise k: some rows truncated"
+    banded, ov = radius_neighbors_banded(
+        *args, max_k=k, num_clouds=2, query_tile=256, band_cap=1024)
+    assert not bool(ov)
+    banded = np.asarray(banded)[:1200]
+    _row_sets_equal(banded, brute, cap, cap)
