@@ -133,7 +133,7 @@ class D3FeatConfig:
     neighbor_search: str = "banded"  # 'brute' | 'banded' | 'grid'; banded sorts by
     # the longest axis and searches a contiguous support band (TPU-friendly: no
     # gathers). 'grid' (cell hash) measured SLOWER on TPU v5e: gathers are VPU-bound.
-    band_frac: float = 0.25  # banded: band cap ~ query_tile + frac * level capacity
+    band_frac: float = 0.2  # banded: band cap = call tile + frac * support rows
     cell_capacity: int = 32  # candidates per grid cell in the grid search
     use_pallas: bool = True  # use Pallas kernels where available (TPU only)
     seed: int = 0

@@ -103,6 +103,32 @@ def pack_single(
     }
 
 
+def pack_fragments(
+    clouds, *, point_capacity: int, num_clouds: int
+) -> Dict[str, np.ndarray]:
+    """Pack up to ``num_clouds`` independent fragments into one stacked
+    batch (fragments ride the cloud axis: the whole pipeline is
+    num_clouds-generic, so B fragments extract in one jitted program).
+    Unused cloud slots get length 0.
+    """
+    if len(clouds) > num_clouds:
+        raise ValueError(f"{len(clouds)} fragments > num_clouds {num_clouds}")
+    total = sum(len(c) for c in clouds)
+    if total > point_capacity:
+        raise ValueError(f"{total} points > capacity {point_capacity}")
+    points = np.full((point_capacity, 3), SHADOW_COORD, np.float32)
+    feats = np.zeros((point_capacity, 1), np.float32)
+    lengths = np.zeros((num_clouds,), np.int32)
+    row = 0
+    for i, c in enumerate(clouds):
+        n = len(c)
+        points[row : row + n] = c
+        feats[row : row + n] = 1.0
+        lengths[i] = n
+        row += n
+    return {"points": points, "features": feats, "lengths": lengths}
+
+
 def choose_bucket(n_points: int, buckets) -> int:
     """Smallest bucket capacity >= n_points (recompilation-bounded padding)."""
     for b in sorted(buckets):

@@ -37,31 +37,41 @@ def _bucket_caps(config: D3FeatConfig, cap0: int) -> PyramidCaps:
 
 
 class FeatureExtractor:
-    """Bucketed jitted extraction: fragment [N,3] -> (desc, scores)."""
+    """Bucketed jitted extraction: fragment [N,3] -> (desc, scores).
+
+    ``batch_fragments`` > 1 packs that many fragments into one stacked
+    program call (fragments ride the cloud axis) — same per-fragment
+    results (per-cloud score normalization == the reference's global max
+    for one fragment), much better device utilization.
+    """
 
     def __init__(self, config: D3FeatConfig, params, model_state,
-                 buckets: Sequence[int] = DEFAULT_BUCKETS):
+                 buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 batch_fragments: int = 1):
         self.config = config
         self.params = params
         self.model_state = model_state
         self.buckets = tuple(sorted(buckets))
-        self._steps: Dict[int, object] = {}
+        self.batch_fragments = max(1, int(batch_fragments))
+        self._steps: Dict[tuple, object] = {}
 
-    def _step_for(self, cap0: int):
-        if cap0 not in self._steps:
+    def _step_for(self, cap0: int, num_clouds: int):
+        key = (cap0, num_clouds)
+        if key not in self._steps:
             import jax
-            from dataclasses import replace as dc_replace
 
             cfg = D3FeatConfig.from_dict(self.config.to_dict())
             cfg.caps = _bucket_caps(self.config, cap0)
-            self._steps[cap0] = jax.jit(make_extract_step(cfg))
-        return self._steps[cap0]
+            self._steps[key] = jax.jit(
+                make_extract_step(cfg, num_clouds=num_clouds)
+            )
+        return self._steps[key]
 
     def extract(self, points: np.ndarray):
         """(descriptors [N,D], scores [N]) for one fragment."""
         n = len(points)
         cap0 = choose_bucket(n, self.buckets)
-        step = self._step_for(cap0)
+        step = self._step_for(cap0, 2)
         batch = pack_single(
             points, np.ones((n, 1), np.float32), point_capacity=cap0
         )
@@ -70,6 +80,34 @@ class FeatureExtractor:
             {k: jnp.asarray(v) for k, v in batch.items()},
         )
         return np.asarray(feats[:n]), np.asarray(scores[:n, 0])
+
+    def extract_many(self, clouds):
+        """[(desc, scores)] for a list of fragments, ``batch_fragments``
+        per jitted call."""
+        from d3feat_tpu.data.pack import pack_fragments
+
+        b = self.batch_fragments
+        if b == 1:
+            return [self.extract(c) for c in clouds]
+        results = []
+        for i in range(0, len(clouds), b):
+            group = clouds[i : i + b]
+            per_frag = choose_bucket(max(len(c) for c in group), self.buckets)
+            cap0 = per_frag * b
+            step = self._step_for(cap0, b)
+            batch = pack_fragments(group, point_capacity=cap0, num_clouds=b)
+            feats, scores = step(
+                self.params, self.model_state,
+                {k: jnp.asarray(v) for k, v in batch.items()},
+            )
+            feats = np.asarray(feats)
+            scores = np.asarray(scores)
+            row = 0
+            for c in group:
+                n = len(c)
+                results.append((feats[row : row + n], scores[row : row + n, 0]))
+                row += n
+        return results
 
 
 def generate_features(

@@ -139,14 +139,35 @@ class KPFCNNOutput(NamedTuple):
     raw_features: jax.Array  # pre-normalization descriptors
 
 
-def detection_scores(batch, features: jax.Array, *, train: bool) -> jax.Array:
-    """Parameter-free detector head (reference: architectures.py:322-368)."""
+def detection_scores(batch, features: jax.Array, *, train: bool,
+                     per_cloud_norm: bool = False) -> jax.Array:
+    """Parameter-free detector head (reference: architectures.py:322-368).
+
+    ``per_cloud_norm=False`` reproduces the reference exactly: one global
+    max over the whole stacked batch (architectures.py:342). With True,
+    each stacked cloud is normalized by its own max — identical for a
+    single cloud, and required when many independent fragments are batched
+    as extra clouds (extraction path), so one fragment's feature scale
+    cannot perturb another's scores. (The reference itself sketches this
+    per-sample variant in its commented-out code, architectures.py:337-345.)
+    """
     neighbor = batch["neighbors"][0]  # [C0, K0], shadow = C0
     f = features
-    # global-max normalization: the reference max runs over the stacked
-    # features incl. a zero shadow row; padded rows here are zero, so the
-    # plain global max is identical (architectures.py:342).
-    f = f / (jnp.max(f) + 1e-6)
+    if per_cloud_norm:
+        from d3feat_tpu.ops.subsample import lengths_to_cloud_ids
+
+        lengths = batch["lengths"][0]
+        b = lengths.shape[0]
+        cid = lengths_to_cloud_ids(lengths, f.shape[0])
+        cmax = jax.ops.segment_max(
+            jnp.max(f, axis=1), jnp.minimum(cid, b - 1), num_segments=b
+        )
+        f = f / (cmax[jnp.minimum(cid, b - 1), None] + 1e-6)
+    else:
+        # global-max normalization: the reference max runs over the stacked
+        # features incl. a zero shadow row; padded rows here are zero, so
+        # the plain global max is identical (architectures.py:342).
+        f = f / (jnp.max(f) + 1e-6)
     f_ext = jnp.concatenate([f, jnp.zeros((1, f.shape[1]), f.dtype)], axis=0)
     neighbor_features = jnp.take(f_ext, neighbor, axis=0)  # [C0, K0, D]
 
@@ -179,6 +200,7 @@ def apply_kpfcnn(
     *,
     train: bool = False,
     compute_dtype=jnp.float32,
+    per_cloud_norm: bool = False,
 ):
     """Forward pass. Returns (KPFCNNOutput, new_state, aux_list)."""
     x = batch["features"].astype(jnp.float32)
@@ -211,7 +233,8 @@ def apply_kpfcnn(
             auxes.append(aux)
 
     x = x * mask0[:, None]  # keep padding rows zero for the detector head
-    scores = detection_scores(batch, x, train=train)
+    scores = detection_scores(batch, x, train=train,
+                              per_cloud_norm=per_cloud_norm)
     # safe L2 normalize: zero rows (padding) stay zero with finite gradients
     # (sqrt at 0 has an unbounded derivative; guard with the double-where)
     norm2 = jnp.sum(x * x, axis=-1, keepdims=True)

@@ -46,7 +46,7 @@ class PyramidSpec:
     num_clouds: int = 2
     query_tile: int = 1024
     search: str = "banded"      # 'brute' | 'banded' | 'grid'
-    band_caps: Tuple[int, ...] = ()  # [L] per-support-level band width (banded)
+    band_frac: float = 0.2      # banded: band cap = tile + frac * support rows
     cell_capacity: int = 32     # candidates kept per grid cell (grid)
 
     @property
@@ -102,16 +102,7 @@ def make_pyramid_spec(config, num_clouds: int = 2) -> PyramidSpec:
         num_clouds=num_clouds,
         query_tile=config.query_tile,
         search=getattr(config, "neighbor_search", "banded"),
-        band_caps=tuple(
-            min(
-                int(p),
-                _round_up_256(
-                    config.query_tile
-                    + int(p * getattr(config, "band_frac", 0.25))
-                ),
-            )
-            for p in caps.points[:num_levels]
-        ),
+        band_frac=getattr(config, "band_frac", 0.2),
         cell_capacity=getattr(config, "cell_capacity", 32),
     )
 
@@ -155,9 +146,22 @@ def build_pyramid(
     def search(q, s, ql, sl, r, k, s_level):
         nonlocal overflow
         tile = min(spec.query_tile, q.shape[0])
-        if spec.search == "banded":
-            band = spec.band_caps[s_level] if spec.band_caps else 4096
-            band = min(band, s.shape[0])
+        if s.shape[0] > q.shape[0]:
+            # strided (pool) search: fewer queries than supports — shrink the
+            # tile so its support band stays a bounded fraction of the level
+            tile = max(128, (tile * q.shape[0]) // s.shape[0])
+        # banding only pays off (and only has safe margins) on large
+        # support sets; small levels fall back to the exact brute panel
+        if spec.search == "banded" and s.shape[0] > 4096:
+            # a sorted query tile stays inside one cloud, so the band margin
+            # scales with the PER-CLOUD row count, not the stacked total
+            band = min(
+                s.shape[0],
+                _round_up_256(
+                    tile
+                    + int(2 * spec.band_frac * s.shape[0] / spec.num_clouds)
+                ),
+            )
             idx, ov = radius_neighbors_banded(
                 q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
                 query_tile=tile, band_cap=band,

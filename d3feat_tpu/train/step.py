@@ -202,12 +202,20 @@ def make_eval_step(config, specs=None, pyramid_spec=None,
     return eval_step
 
 
-def make_extract_step(config, specs=None, pyramid_spec=None):
+def make_extract_step(config, specs=None, pyramid_spec=None,
+                      num_clouds: int = 2):
     """Feature-extraction step for eval/serving: packed cloud(s) ->
     (descriptors, scores) with the eval-mode local-max score gate
-    (reference: test.py:103-127 forward + slice)."""
+    (reference: test.py:103-127 forward + slice).
+
+    ``num_clouds`` > 2 batches that many independent fragments through one
+    jitted program (fragments ride the cloud axis); scores use per-cloud
+    max normalization, which coincides with the reference's global max for
+    a single fragment.
+    """
     specs = specs or make_kpfcnn_specs(config)
-    pyramid_spec = pyramid_spec or make_pyramid_spec(config)
+    pyramid_spec = pyramid_spec or make_pyramid_spec(config,
+                                                     num_clouds=num_clouds)
     compute_dtype = (
         jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     )
@@ -218,7 +226,7 @@ def make_extract_step(config, specs=None, pyramid_spec=None):
         full["features"] = batch["features"]
         out, _, _ = apply_kpfcnn(
             params, model_state, full, config, specs,
-            train=False, compute_dtype=compute_dtype,
+            train=False, compute_dtype=compute_dtype, per_cloud_norm=True,
         )
         return out.features, out.scores
 
