@@ -37,29 +37,34 @@ WARMUP = 3
 ITERS = 20
 
 
+FRAGS_PER_CALL = 4    # fragments batched through one jitted program
+
+
 def main():
     from d3feat_tpu.config import D3FeatConfig, PyramidCaps
-    from d3feat_tpu.data.pack import pack_single
+    from d3feat_tpu.data.pack import pack_fragments
     from d3feat_tpu.data.synthetic import synthetic_fragment
     from d3feat_tpu.train.step import init_train_state, make_extract_step
 
+    B = FRAGS_PER_CALL
     cfg = D3FeatConfig()
     cfg.caps = PyramidCaps(
-        points=(16384, 8192, 2048, 768, 256),
+        points=(16384 * B, 8192 * B, 2048 * B, 768 * B, 256 * B),
         neighbors=(40, 40, 40, 40, 40),
         corr=128,
     )
     cfg.query_tile = 512
 
     ts, specs = init_train_state(jax.random.key(0), cfg)
-    extract = jax.jit(make_extract_step(cfg, specs))
+    extract = jax.jit(make_extract_step(cfg, specs, num_clouds=B))
 
     rng = np.random.default_rng(0)
     batches = []
-    for _ in range(4):
-        pts = synthetic_fragment(rng, N_POINTS, extent=3.0)
-        b = pack_single(pts, np.ones((N_POINTS, 1), np.float32),
-                        point_capacity=cfg.caps.points[0])
+    for _ in range(2):
+        frags = [synthetic_fragment(rng, N_POINTS, extent=3.0)
+                 for _ in range(B)]
+        b = pack_fragments(frags, point_capacity=cfg.caps.points[0],
+                           num_clouds=B)
         batches.append({k: jnp.asarray(v) for k, v in b.items()})
 
     for i in range(WARMUP):
@@ -72,7 +77,7 @@ def main():
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    fps = ITERS / dt
+    fps = ITERS * B / dt
     print(json.dumps({
         "metric": "fragment_extraction_throughput",
         "value": round(fps, 3),

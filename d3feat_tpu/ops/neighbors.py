@@ -98,15 +98,17 @@ def radius_neighbors(
         d2 = (q_sq[:, None] - 2.0 * (qt @ sc.T) + s_sq[None, :])  # [T, Ns]
         same = qt_cid[:, None] == s_cid[None, :]
         d2 = jnp.where(same, d2, _INF)
-        _, idx = jax.lax.top_k(-d2, k)  # candidate set, roughly ascending
+        neg, idx = jax.lax.top_k(-d2, k)  # candidate set, roughly ascending
         # Exact re-rank: the matmul expansion loses ~1e-6 absolute precision,
         # enough to swap near-equal distances. Recompute |q-s|^2 exactly for
         # the k candidates and sort, so row ordering and the radius test match
         # the reference's exact arithmetic (neighbors.cpp:265 sorted=true).
+        # Cross-cloud validity rides the d2 values (neg > -INF) — gathering
+        # the boolean matrix instead is a measured TPU compile-time hog.
         cand = jnp.take(sc, idx, axis=0)  # [T, k, 3]
         diff = cand - qt[:, None, :]
         d2e = jnp.sum(diff * diff, axis=-1)  # [T, k]
-        keep = jnp.take_along_axis(same, idx, axis=1) & (d2e <= r2)
+        keep = (neg > -_INF) & (d2e <= r2)
         d2e = jnp.where(keep, d2e, _INF)
         rank = jnp.argsort(d2e, axis=1)
         idx = jnp.take_along_axis(idx, rank, axis=1)
@@ -227,6 +229,9 @@ def radius_neighbors_banded(
     k = min(max_k, band_cap)
 
     def one_tile(args):
+        # Lean map body: validity rides the d2 values (no boolean-matrix
+        # gathers), and band positions — not original indices — leave the
+        # loop; the sidx translation is one vectorized gather outside.
         tkeys, qt, qt_cid = args  # [T], [T,3], [T]
         valid_t = qt_cid >= 0
         kmin = jnp.min(jnp.where(valid_t, tkeys, jnp.int32(2**30)))
@@ -237,28 +242,26 @@ def radius_neighbors_banded(
 
         band = jax.lax.dynamic_slice(ss_c, (lo, 0), (band_cap, 3))
         band_cid = jax.lax.dynamic_slice(scid_pad, (lo,), (band_cap,))
-        band_idx = jax.lax.dynamic_slice(sidx_pad, (lo,), (band_cap,))
 
         q_sq = jnp.sum(qt * qt, axis=1)
         b_sq = jnp.sum(band * band, axis=1)
         d2 = q_sq[:, None] - 2.0 * (qt @ band.T) + b_sq[None, :]  # [T, band]
         same = qt_cid[:, None] == band_cid[None, :]
         d2 = jnp.where(same, d2, _INF)
-        _, sel = jax.lax.top_k(-d2, k)
+        neg, sel = jax.lax.top_k(-d2, k)
         cand = jnp.take(band, sel.reshape(-1), axis=0).reshape(
             query_tile, k, 3)
         diff = cand - qt[:, None, :]
         d2e = jnp.sum(diff * diff, axis=-1)
-        keep = jnp.take_along_axis(same, sel, axis=1) & (d2e <= r2)
+        keep = (neg > -_INF) & (d2e <= r2)
         d2e = jnp.where(keep, d2e, _INF)
         rank = jnp.argsort(d2e, axis=1)
         sel = jnp.take_along_axis(sel, rank, axis=1)
         keep = jnp.take_along_axis(keep, rank, axis=1)
-        idx = jnp.take(band_idx, sel.reshape(-1)).reshape(query_tile, k)
-        idx = jnp.where(keep, idx, shadow)
-        return idx.astype(jnp.int32), overflow_t
+        pos = jnp.where(keep, sel + lo, ns + band_cap - 1)  # global sorted pos
+        return pos.astype(jnp.int32), overflow_t
 
-    out_sorted, overflows = jax.lax.map(
+    pos_sorted, overflows = jax.lax.map(
         one_tile,
         (
             qk_p.reshape(n_tiles, query_tile),
@@ -266,7 +269,8 @@ def radius_neighbors_banded(
             qcid_p.reshape(n_tiles, query_tile),
         ),
     )
-    out_sorted = out_sorted.reshape(-1, k)[:nq]
+    pos_sorted = pos_sorted.reshape(-1, k)[:nq]
+    out_sorted = sidx_pad[jnp.minimum(pos_sorted, ns + band_cap - 1)]
     if k < max_k:
         out_sorted = jnp.pad(
             out_sorted, ((0, 0), (0, max_k - k)), constant_values=ns)
