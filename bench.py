@@ -37,7 +37,8 @@ WARMUP = 3
 ITERS = 20
 
 
-FRAGS_PER_CALL = 4    # fragments batched through one jitted program
+FRAGS_PER_CALL = 1    # measured: batching fragments does NOT help (ops are
+# already large and bandwidth-bound; 4-frag batching was 18% slower per fragment)
 
 
 def main():
@@ -60,7 +61,7 @@ def main():
 
     rng = np.random.default_rng(0)
     batches = []
-    for _ in range(2):
+    for _ in range(WARMUP + ITERS):
         frags = [synthetic_fragment(rng, N_POINTS, extent=3.0)
                  for _ in range(B)]
         b = pack_fragments(frags, point_capacity=cfg.caps.points[0],
@@ -68,12 +69,11 @@ def main():
         batches.append({k: jnp.asarray(v) for k, v in b.items()})
 
     for i in range(WARMUP):
-        out = extract(ts.params, ts.model_state, batches[i % len(batches)])
-    jax.block_until_ready(out)
+        jax.block_until_ready(extract(ts.params, ts.model_state, batches[i]))
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = extract(ts.params, ts.model_state, batches[i % len(batches)])
+    for i in range(WARMUP, WARMUP + ITERS):
+        out = extract(ts.params, ts.model_state, batches[i])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

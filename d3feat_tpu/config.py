@@ -130,7 +130,9 @@ class D3FeatConfig:
     data_axis: str = "data"  # mesh axis name for data parallelism
     num_devices: int = 1  # data-parallel width (pairs processed per step)
     query_tile: int = 1024  # neighbor-search query tile size
-    neighbor_search: str = "banded"  # 'brute' | 'banded' | 'grid'; banded sorts by
+    neighbor_search: str = "pallas"  # 'pallas' | 'banded' | 'brute' | 'grid'; pallas = banded
+    # preprocessing + fused VMEM distance/select kernel (TPU only; falls back to
+    # banded elsewhere). banded sorts by
     # the longest axis and searches a contiguous support band (TPU-friendly: no
     # gathers). 'grid' (cell hash) measured SLOWER on TPU v5e: gathers are VPU-bound.
     band_frac: float = 0.2  # banded: band cap = call tile + frac * support rows

@@ -49,7 +49,7 @@ def torch_kaiming_uniform(key, shape, dtype=jnp.float32):
     """U(-b, b) with b = sqrt(3) * sqrt(2/(1+5)) / sqrt(fan_in), fan_in
     computed the torch way (dim 1 x trailing dims) — matches the reference's
     parameter statistics for training parity (blocks.py:216-217)."""
-    fan_in = shape[1] if len(shape) == 2 else shape[1] * int(jnp.prod(jnp.array(shape[2:])))
+    fan_in = shape[1] if len(shape) == 2 else shape[1] * math.prod(shape[2:])
     bound = math.sqrt(3.0) * math.sqrt(2.0 / 6.0) / math.sqrt(fan_in)
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 

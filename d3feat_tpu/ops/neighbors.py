@@ -280,6 +280,124 @@ def radius_neighbors_banded(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("max_k", "num_clouds", "query_tile", "band_cap",
+                     "interpret"),
+)
+def radius_neighbors_pallas(
+    queries: jax.Array,
+    supports: jax.Array,
+    q_lengths: jax.Array,
+    s_lengths: jax.Array,
+    radius: jax.Array | float,
+    *,
+    max_k: int,
+    num_clouds: int,
+    query_tile: int = 256,
+    band_cap: int = 2048,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Banded radius search with the selection fused into a Pallas kernel.
+
+    Same preprocessing (longest-axis keys, sorts, per-tile contiguous
+    bands) and contract as :func:`radius_neighbors_banded`, but the
+    [tile, band] distance panel + k-nearest extraction run entirely in
+    VMEM (:mod:`d3feat_tpu.ops.pallas.select`) — exact elementwise
+    arithmetic, no HBM panel round-trip, no re-rank pass.
+    """
+    from d3feat_tpu.ops.pallas.select import (
+        band_select,
+        pack_queries,
+        pack_supports,
+    )
+
+    nq, ns = queries.shape[0], supports.shape[0]
+    shadow = jnp.int32(ns)
+    r = jnp.asarray(radius, jnp.float32)
+
+    q_cid = lengths_to_cloud_ids(q_lengths, nq)
+    s_cid = lengths_to_cloud_ids(s_lengths, ns)
+    q_valid = q_cid < num_clouds
+    s_valid = s_cid < num_clouds
+
+    big = jnp.float32(3.0e37)
+
+    def seg_ext(pts, cid, valid):
+        cidc = jnp.minimum(cid, num_clouds - 1)
+        lo = jax.ops.segment_min(
+            jnp.where(valid[:, None], pts, big), cidc, num_segments=num_clouds)
+        hi = jax.ops.segment_max(
+            jnp.where(valid[:, None], pts, -big), cidc, num_segments=num_clouds)
+        return lo, hi
+
+    qlo, qhi = seg_ext(queries, q_cid, q_valid)
+    slo, shi = seg_ext(supports, s_cid, s_valid)
+    lo_c = jnp.minimum(qlo, slo)
+    hi_c = jnp.maximum(qhi, shi)
+    axis_onehot = jax.nn.one_hot(
+        jnp.argmax(hi_c - lo_c, axis=1), 3, dtype=jnp.float32)
+    origin = jnp.sum(lo_c * axis_onehot, axis=1)
+
+    _BINS = 1 << 20
+
+    def keys_of(pts, cid, valid):
+        cidc = jnp.minimum(cid, num_clouds - 1)
+        proj = jnp.sum(pts * axis_onehot[cidc], axis=1) - origin[cidc]
+        b = jnp.clip(jnp.floor(proj / r).astype(jnp.int32), 0, _BINS - 2)
+        key = cid.astype(jnp.int32) * _BINS + b
+        return jnp.where(valid, key, num_clouds * _BINS + _BINS - 2)
+
+    q_key = keys_of(queries, q_cid, q_valid)
+    s_key = keys_of(supports, s_cid, s_valid)
+    qord = jnp.argsort(q_key)
+    sord = jnp.argsort(s_key)
+    qk = q_key[qord]
+    sk = s_key[sord]
+    qs = queries.astype(jnp.float32)[qord]
+    qcid_s = jnp.where(q_valid, q_cid, -1)[qord]
+    ss = supports.astype(jnp.float32)[sord]
+    scid_s = s_cid[sord]
+    sidx_s = sord.astype(jnp.int32)
+
+    ss_pad = jnp.concatenate(
+        [ss, jnp.full((band_cap, 3), jnp.float32(SHADOW_LIKE))], axis=0)
+    scid_pad = jnp.concatenate(
+        [scid_s, jnp.full((band_cap,), num_clouds, jnp.int32)])
+    sidx_pad = jnp.concatenate(
+        [sidx_s, jnp.full((band_cap,), shadow, jnp.int32)])
+
+    pad = (-nq) % query_tile
+    qk_p = jnp.pad(qk, (0, pad), constant_values=(num_clouds + 1) * _BINS)
+    qs_p = jnp.pad(qs, ((0, pad), (0, 0)))
+    qcid_p = jnp.pad(qcid_s, (0, pad), constant_values=-1)
+    n_tiles = qk_p.shape[0] // query_tile
+
+    tiles = qk_p.reshape(n_tiles, query_tile)
+    tvalid = qcid_p.reshape(n_tiles, query_tile) >= 0
+    kmin = jnp.min(jnp.where(tvalid, tiles, jnp.int32(2**30)), axis=1)
+    kmax = jnp.max(jnp.where(tvalid, tiles, jnp.int32(-1)), axis=1)
+    starts = jnp.searchsorted(sk, kmin - 1).astype(jnp.int32)
+    ends = jnp.searchsorted(sk, kmax + 2).astype(jnp.int32)
+    overflow = jnp.any((ends - starts) > band_cap)
+    starts = jnp.minimum(starts, ns)  # slice stays within ss_pad
+
+    pos = band_select(
+        pack_queries(qs_p, qcid_p),
+        pack_supports(ss_pad, scid_pad),
+        starts, r * r,
+        max_k=min(max_k, band_cap), band_cap=band_cap,
+        query_tile=query_tile, interpret=interpret,
+    )
+    out_sorted = sidx_pad[jnp.minimum(pos[:nq], ns + band_cap - 1)]
+    if out_sorted.shape[1] < max_k:
+        out_sorted = jnp.pad(
+            out_sorted,
+            ((0, 0), (0, max_k - out_sorted.shape[1])), constant_values=ns)
+    inv = jnp.argsort(qord)
+    return out_sorted[inv], overflow
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("max_k", "num_clouds", "query_tile", "cell_capacity"),
 )
 def radius_neighbors_grid(

@@ -28,6 +28,7 @@ from d3feat_tpu.ops.neighbors import (
     radius_neighbors,
     radius_neighbors_banded,
     radius_neighbors_grid,
+    radius_neighbors_pallas,
 )
 from d3feat_tpu.ops.subsample import voxel_subsample, lengths_to_mask
 
@@ -152,7 +153,25 @@ def build_pyramid(
             tile = max(128, (tile * q.shape[0]) // s.shape[0])
         # banding only pays off (and only has safe margins) on large
         # support sets; small levels fall back to the exact brute panel
-        if spec.search == "banded" and s.shape[0] > 4096:
+        want_pallas = (
+            spec.search == "pallas" and jax.default_backend() == "tpu"
+        )
+        if want_pallas and s.shape[0] > 4096:
+            band = min(
+                s.shape[0],
+                _round_up_256(
+                    tile
+                    + int(2 * spec.band_frac * s.shape[0] / spec.num_clouds)
+                ),
+            )
+            idx, ov = radius_neighbors_pallas(
+                q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
+                query_tile=min(tile, 128), band_cap=band,
+            )
+            overflow = overflow | ov
+            return idx
+        if (spec.search == "banded" or
+                (spec.search == "pallas" and not want_pallas))                 and s.shape[0] > 4096:
             # a sorted query tile stays inside one cloud, so the band margin
             # scales with the PER-CLOUD row count, not the stacked total
             band = min(
