@@ -135,7 +135,7 @@ class D3FeatConfig:
     # banded elsewhere). banded sorts by
     # the longest axis and searches a contiguous support band (TPU-friendly: no
     # gathers). 'grid' (cell hash) measured SLOWER on TPU v5e: gathers are VPU-bound.
-    band_frac: float = 0.2  # banded: band cap = call tile + frac * support rows
+    band_frac: float = 0.1  # banded: band margin ~ 2*frac*rows/clouds (overflow-flagged)
     cell_capacity: int = 32  # candidates per grid cell in the grid search
     use_pallas: bool = True  # use Pallas kernels where available (TPU only)
     seed: int = 0

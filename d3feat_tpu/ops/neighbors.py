@@ -396,6 +396,133 @@ def radius_neighbors_pallas(
     return out_sorted[inv], overflow
 
 
+class SortedLevel:
+    """Per-pyramid-level sorted state shared by every search at the level.
+
+    Sorting dominates the XLA-side cost of the banded/pallas searches when
+    done per call (2-3 argsorts + a lane-packed scatter each). Each level
+    is instead sorted ONCE along a banding axis fixed for the whole
+    pyramid, and all conv/pool/upsample searches touching the level reuse
+    the sorted state. Key = cid * KOFF + (proj - origin[cid]): a single
+    f32 sort key (resolution ~1e-3 at scene scale — absorbed into the
+    search window margin)."""
+
+    KOFF = 4096.0     # > any scene extent; separates clouds in the key
+    EPS = 0.02        # key-resolution margin added to search windows
+
+    def __init__(self, points, lengths, num_clouds, axis_onehot, origin,
+                 band_pad: int):
+        n = points.shape[0]
+        cid = lengths_to_cloud_ids(lengths, n)
+        valid = cid < num_clouds
+        cidc = jnp.minimum(cid, num_clouds - 1)
+        proj = jnp.sum(points * axis_onehot[cidc], axis=1) - origin[cidc]
+        key = cid.astype(jnp.float32) * self.KOFF + jnp.clip(
+            proj, 0.0, self.KOFF - 1.0
+        )
+        key = jnp.where(valid, key, num_clouds * self.KOFF)
+
+        self.num_clouds = num_clouds
+        self.n = n
+        self.band_pad = band_pad
+        self.order = jnp.argsort(key)
+        self.inv = jnp.argsort(self.order)
+        self.key_sorted = key[self.order]
+        pts_sorted = points.astype(jnp.float32)[self.order]
+        cid_sorted = cid[self.order]
+        self.qcid_sorted = jnp.where(valid, cid, -1)[self.order]
+        self.idx_sorted_pad = jnp.concatenate([
+            self.order.astype(jnp.int32),
+            jnp.full((band_pad,), jnp.int32(n), jnp.int32),
+        ])
+        # lane-packed supports for the kernel DMA, built once per level
+        from d3feat_tpu.ops.pallas.select import pack_queries, pack_supports
+
+        pts_pad = jnp.concatenate([
+            pts_sorted, jnp.full((band_pad, 3), jnp.float32(SHADOW_LIKE))
+        ])
+        cid_pad = jnp.concatenate([
+            cid_sorted, jnp.full((band_pad,), num_clouds, jnp.int32)
+        ])
+        self.s_packed = pack_supports(pts_pad, cid_pad)
+        self.q_packed = pack_queries(pts_sorted, self.qcid_sorted)
+        self.pts_sorted = pts_sorted
+        self.cid_sorted = cid_sorted
+
+
+def make_level_frame(points, lengths, num_clouds):
+    """(axis_onehot [B,3], origin [B]) from the level-0 clouds; reused by
+    every level (subsampled barycenters stay inside the level-0 hull)."""
+    n = points.shape[0]
+    cid = lengths_to_cloud_ids(lengths, n)
+    valid = cid < num_clouds
+    cidc = jnp.minimum(cid, num_clouds - 1)
+    big = jnp.float32(3.0e37)
+    lo = jax.ops.segment_min(
+        jnp.where(valid[:, None], points, big), cidc, num_segments=num_clouds)
+    hi = jax.ops.segment_max(
+        jnp.where(valid[:, None], points, -big), cidc, num_segments=num_clouds)
+    axis_onehot = jax.nn.one_hot(
+        jnp.argmax(hi - lo, axis=1), 3, dtype=jnp.float32)
+    origin = jnp.sum(lo * axis_onehot, axis=1) - 1.0
+    return axis_onehot, origin
+
+
+def radius_neighbors_sorted(
+    q_level: SortedLevel,
+    s_level: SortedLevel,
+    radius,
+    *,
+    max_k: int,
+    query_tile: int,
+    band_cap: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Pallas band search over pre-sorted levels (same contract as
+    :func:`radius_neighbors_pallas`, ~zero per-call XLA preprocessing)."""
+    from d3feat_tpu.ops.pallas.select import band_select
+
+    r = jnp.asarray(radius, jnp.float32)
+    nq, ns = q_level.n, s_level.n
+    assert s_level.band_pad >= band_cap, "level band_pad < band_cap"
+    shadow = jnp.int32(ns)
+
+    pad = (-nq) % query_tile
+    qk_p = jnp.pad(q_level.key_sorted, (0, pad),
+                   constant_values=(q_level.num_clouds + 1) * SortedLevel.KOFF)
+    q_packed = q_level.q_packed
+    if pad:
+        q_packed = jnp.pad(q_packed, ((0, 0), (0, pad)))
+        q_packed = q_packed.at[3, nq:].set(-1.0)  # padding cid
+    n_tiles = qk_p.shape[0] // query_tile
+
+    tiles = qk_p.reshape(n_tiles, query_tile)
+    tvalid = tiles < q_level.num_clouds * SortedLevel.KOFF
+    kmin = jnp.min(jnp.where(tvalid, tiles, jnp.float32(3.0e37)), axis=1)
+    kmax = jnp.max(jnp.where(tvalid, tiles, jnp.float32(-1.0)), axis=1)
+    margin = r + SortedLevel.EPS
+    starts = jnp.searchsorted(
+        s_level.key_sorted, kmin - margin).astype(jnp.int32)
+    ends = jnp.searchsorted(
+        s_level.key_sorted, kmax + margin).astype(jnp.int32)
+    overflow = jnp.any((ends - starts) > band_cap)
+    starts = jnp.minimum(starts, ns)
+
+    pos = band_select(
+        q_packed, s_level.s_packed, starts, r * r,
+        max_k=min(max_k, band_cap), band_cap=band_cap,
+        query_tile=query_tile, interpret=interpret,
+    )
+    out_sorted = s_level.idx_sorted_pad[
+        jnp.minimum(pos[:nq], ns + s_level.band_pad - 1)
+    ]
+    if out_sorted.shape[1] < max_k:
+        out_sorted = jnp.pad(
+            out_sorted, ((0, 0), (0, max_k - out_sorted.shape[1])),
+            constant_values=ns)
+    return out_sorted[q_level.inv], overflow
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("max_k", "num_clouds", "query_tile", "cell_capacity"),

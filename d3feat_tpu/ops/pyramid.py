@@ -25,10 +25,13 @@ import jax
 import jax.numpy as jnp
 
 from d3feat_tpu.ops.neighbors import (
+    SortedLevel,
+    make_level_frame,
     radius_neighbors,
     radius_neighbors_banded,
     radius_neighbors_grid,
     radius_neighbors_pallas,
+    radius_neighbors_sorted,
 )
 from d3feat_tpu.ops.subsample import voxel_subsample, lengths_to_mask
 
@@ -47,7 +50,7 @@ class PyramidSpec:
     num_clouds: int = 2
     query_tile: int = 1024
     search: str = "banded"      # 'brute' | 'banded' | 'grid'
-    band_frac: float = 0.2      # banded: band cap = tile + frac * support rows
+    band_frac: float = 0.1      # band margin ~ 2*frac*rows/clouds (overflow-flagged)
     cell_capacity: int = 32     # candidates kept per grid cell (grid)
 
     @property
@@ -103,7 +106,7 @@ def make_pyramid_spec(config, num_clouds: int = 2) -> PyramidSpec:
         num_clouds=num_clouds,
         query_tile=config.query_tile,
         search=getattr(config, "neighbor_search", "banded"),
-        band_frac=getattr(config, "band_frac", 0.2),
+        band_frac=getattr(config, "band_frac", 0.1),
         cell_capacity=getattr(config, "cell_capacity", 32),
     )
 
@@ -144,7 +147,32 @@ def build_pyramid(
     pts, lens = points.astype(jnp.float32), lengths.astype(jnp.int32)
     overflow = jnp.zeros((), bool)
 
-    def search(q, s, ql, sl, r, k, s_level):
+    want_pallas = spec.search == "pallas" and jax.default_backend() == "tpu"
+    sorted_levels: Dict[int, SortedLevel] = {}
+    if want_pallas:
+        frame_axis, frame_origin = make_level_frame(
+            pts, lens, spec.num_clouds
+        )
+
+    def _band_for(s_rows: int) -> int:
+        return min(
+            s_rows,
+            _round_up_256(
+                128 + int(2 * spec.band_frac * s_rows / spec.num_clouds)
+            ),
+        )
+
+    def sorted_level(l: int, p, ln) -> SortedLevel:
+        # one sort + one lane-packed layout per level, shared by every
+        # conv/pool/upsample search touching the level
+        if l not in sorted_levels:
+            sorted_levels[l] = SortedLevel(
+                p, ln, spec.num_clouds, frame_axis, frame_origin,
+                band_pad=_band_for(p.shape[0]),
+            )
+        return sorted_levels[l]
+
+    def search(q, s, ql, sl, r, k, q_level, s_level):
         nonlocal overflow
         tile = min(spec.query_tile, q.shape[0])
         if s.shape[0] > q.shape[0]:
@@ -153,25 +181,16 @@ def build_pyramid(
             tile = max(128, (tile * q.shape[0]) // s.shape[0])
         # banding only pays off (and only has safe margins) on large
         # support sets; small levels fall back to the exact brute panel
-        want_pallas = (
-            spec.search == "pallas" and jax.default_backend() == "tpu"
-        )
         if want_pallas and s.shape[0] > 4096:
-            band = min(
-                s.shape[0],
-                _round_up_256(
-                    tile
-                    + int(2 * spec.band_frac * s.shape[0] / spec.num_clouds)
-                ),
-            )
-            idx, ov = radius_neighbors_pallas(
-                q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
-                query_tile=min(tile, 128), band_cap=band,
+            idx, ov = radius_neighbors_sorted(
+                sorted_level(q_level, q, ql), sorted_level(s_level, s, sl),
+                r, max_k=k, query_tile=128, band_cap=_band_for(s.shape[0]),
             )
             overflow = overflow | ov
             return idx
         if (spec.search == "banded" or
-                (spec.search == "pallas" and not want_pallas))                 and s.shape[0] > 4096:
+                (spec.search == "pallas" and not want_pallas)) \
+                and s.shape[0] > 4096:
             # a sorted query tile stays inside one cloud, so the band margin
             # scales with the PER-CLOUD row count, not the stacked total
             band = min(
@@ -206,20 +225,26 @@ def build_pyramid(
         out["masks"].append(lengths_to_mask(lens, pts.shape[0]))
         out["neighbors"].append(
             search(pts, pts, lens, lens, r * spec.conv_r_scale[l],
-                   spec.neighbor_caps[l], l)
+                   spec.neighbor_caps[l], l, l)
         )
         if l + 1 < L:
             sub = voxel_subsample(
                 pts, lens, 2.0 * r / spec.conv_radius,
                 out_capacity=spec.point_caps[l + 1], num_clouds=spec.num_clouds,
+                # dl doubles per level over points spaced >= previous dl:
+                # occupancy is bounded ~(2+1)^3; 32 covers it with margin
+                # (the overflow flag reports violations)
+                occupancy_cap=32,
             )
             overflow = overflow | sub.overflow
             out["pools"].append(
                 search(sub.points, pts, sub.lengths, lens,
-                       r * spec.pool_r_scale[l], spec.neighbor_caps[l], l)
+                       r * spec.pool_r_scale[l], spec.neighbor_caps[l],
+                       l + 1, l)
             )
             out["upsamples"].append(
-                search(pts, sub.points, lens, sub.lengths, 2.0 * r, 1, l + 1)
+                search(pts, sub.points, lens, sub.lengths, 2.0 * r, 1,
+                       l, l + 1)
             )
             pts, lens = sub.points, sub.lengths
     out["overflow"] = overflow

@@ -53,7 +53,9 @@ def lengths_to_mask(lengths: jax.Array, n: int) -> jax.Array:
     return jnp.arange(n) < total
 
 
-@functools.partial(jax.jit, static_argnames=("out_capacity", "num_clouds"))
+@functools.partial(
+    jax.jit, static_argnames=("out_capacity", "num_clouds", "occupancy_cap")
+)
 def voxel_subsample(
     points: jax.Array,
     lengths: jax.Array,
@@ -61,6 +63,7 @@ def voxel_subsample(
     *,
     out_capacity: int,
     num_clouds: int,
+    occupancy_cap: int = 64,
 ) -> SubsampleResult:
     """Barycenter voxel subsampling of a stacked, contiguous batch of clouds.
 
@@ -83,10 +86,14 @@ def voxel_subsample(
     valid = cid < b
 
     # Per-cloud origin: floor(min_corner / dl) * dl (grid_subsampling.cpp:26).
+    # B is tiny and static: unrolled masked reductions instead of
+    # segment_min — scatter-based segment ops cost ~5 ms flat on TPU.
     big = jnp.asarray(SHADOW_COORD, points.dtype)
-    masked_pts = jnp.where(valid[:, None], points, big)
+    mins = jnp.stack([
+        jnp.min(jnp.where((cid == c_)[:, None], points, big), axis=0)
+        for c_ in range(b)
+    ])  # [B, 3]
     cid_c = jnp.minimum(cid, b - 1)
-    mins = jax.ops.segment_min(masked_pts, cid_c, num_segments=b)  # [B, 3]
     origin = jnp.floor(mins / dl) * dl
 
     # Integer cell coordinates relative to the cloud's origin.
@@ -112,29 +119,48 @@ def voxel_subsample(
         jnp.ones((1,), bool),
         (s_lo[1:] != s_lo[:-1]) | (s_hi[1:] != s_hi[:-1]),
     ])
-    seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # [N] segment per point
+    seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # [N] run id, ascending
 
-    w = s_valid.astype(points.dtype)
-    sums = jax.ops.segment_sum(s_pts * w[:, None], seg, num_segments=n)
-    cnts = jax.ops.segment_sum(w, seg, num_segments=n)
-    seg_cid = jax.ops.segment_max(
-        jnp.where(s_valid, s_cid, -1), seg, num_segments=n
-    )
+    # Scatter-free segment reduction: runs are contiguous in the sorted
+    # order (boundaries via vectorized searchsorted over the ascending run
+    # ids), and a voxel of edge dl over points spaced >= dl_prev holds at
+    # most ~(dl/dl_prev + 1)^3 points, so each run is summed EXACTLY with
+    # a bounded gather loop. segment_sum would lower to a scatter (a flat
+    # ~5 ms on TPU regardless of size); prefix-sum differences would lose
+    # float32 precision at scale.
+    c = out_capacity
+    run_ids = jnp.arange(c)
+    starts = jnp.searchsorted(seg, run_ids)          # [c] in [0, n]
+    ends = jnp.searchsorted(seg, run_ids + 1)
+
+    # one vectorized [c, occupancy_cap] gather (a sequential per-offset
+    # loop costs ~50us of launch overhead per iteration)
+    offs = jnp.arange(occupancy_cap)
+    pos = jnp.minimum(starts[:, None] + offs[None, :], n - 1)  # [c, occ]
+    take = (starts[:, None] + offs[None, :]) < ends[:, None]
+    gathered = s_pts[pos.reshape(-1)].reshape(c, occupancy_cap, 3)
+    sums = jnp.sum(jnp.where(take[:, :, None], gathered, 0.0), axis=1)
+    cnts = jnp.minimum(ends - starts, occupancy_cap).astype(points.dtype)
+    seg_cid = s_cid[jnp.minimum(starts, n - 1)]      # cid at the run start
 
     n_unique = jnp.sum(is_first & s_valid)  # valid voxels (come first, sorted)
-    c = out_capacity
-    out_slot_valid = jnp.arange(c) < jnp.minimum(n_unique, c)
-    bary = sums[:c] / jnp.maximum(cnts[:c], 1.0)[:, None]
+    out_slot_valid = run_ids < jnp.minimum(n_unique, c)
+    # occupancy check only over valid runs (all padding rows share one
+    # giant run that must not trip the flag)
+    occ_overflow = jnp.max(
+        jnp.where(out_slot_valid, ends - starts, 0)
+    ) > occupancy_cap
+    bary = sums / jnp.maximum(cnts, 1.0)[:, None]
     out_points = jnp.where(out_slot_valid[:, None], bary, big)
-    out_cid = jnp.where(out_slot_valid, seg_cid[:c], b)
+    out_cid = jnp.where(out_slot_valid, seg_cid, b)
 
-    out_lengths = jax.ops.segment_sum(
-        out_slot_valid.astype(jnp.int32), jnp.minimum(out_cid, b), num_segments=b + 1
-    )[:b]
+    out_lengths = jnp.stack([
+        jnp.sum((out_cid == c_).astype(jnp.int32)) for c_ in range(b)
+    ])
 
     return SubsampleResult(
         points=out_points.astype(jnp.float32),
         lengths=out_lengths.astype(jnp.int32),
         valid=out_slot_valid,
-        overflow=n_unique > c,
+        overflow=(n_unique > c) | occ_overflow,
     )

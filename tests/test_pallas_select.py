@@ -55,3 +55,35 @@ def test_pallas_overflow_and_padding_rows():
     assert bool(ov)
     # padding query rows are all shadow
     assert (np.asarray(got)[300:] == cap).all()
+
+
+def test_sorted_levels_match_numpy():
+    """The shared-sorted-level path (used by the TPU pyramid) vs numpy."""
+    from d3feat_tpu.ops.neighbors import (
+        SortedLevel,
+        make_level_frame,
+        radius_neighbors_sorted,
+    )
+
+    rng = np.random.default_rng(9)
+    n0, n1 = 260, 210
+    pts = np.concatenate([
+        rng.uniform(0, 1, size=(n0, 3)) * np.array([3.0, 1.0, 0.5]),
+        rng.uniform(0, 1, size=(n1, 3)) * np.array([0.7, 2.2, 0.9]),
+    ]).astype(np.float32)
+    lens = np.array([n0, n1], np.int32)
+    cap = 512
+    r, k = 0.5, 12
+    padded = jnp.asarray(_pad(pts, cap))
+    lens_j = jnp.asarray(lens)
+    axis, origin = make_level_frame(padded, lens_j, 2)
+    lvl = SortedLevel(padded, lens_j, 2, axis, origin, band_pad=512)
+    got, ov = radius_neighbors_sorted(
+        lvl, lvl, r, max_k=k, query_tile=64, band_cap=512, interpret=True,
+    )
+    assert not bool(ov)
+    got = np.asarray(got)[: len(pts)]
+    got = np.where(got == cap, len(pts), got)
+    ref = np_radius_neighbors(pts, pts, lens, lens, r, k)
+    for i in range(len(pts)):
+        assert set(got[i]) - {len(pts)} == set(ref[i]) - {len(pts)}, i
