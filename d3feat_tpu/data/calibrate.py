@@ -18,7 +18,7 @@ Returns a :class:`d3feat_tpu.config.PyramidCaps` to store in config.json.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax

@@ -10,7 +10,6 @@ loading uses this module + our own voxel subsampling instead.
 
 from __future__ import annotations
 
-import struct
 from typing import Dict, List, Sequence
 
 import numpy as np

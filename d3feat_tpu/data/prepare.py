@@ -20,7 +20,7 @@ import os
 import pickle
 import re
 from os.path import join
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -24,7 +24,7 @@ import os
 import pickle
 import re
 from os.path import exists, join
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

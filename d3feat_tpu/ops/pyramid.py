@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,6 @@ from d3feat_tpu.ops.neighbors import (
     radius_neighbors,
     radius_neighbors_banded,
     radius_neighbors_grid,
-    radius_neighbors_pallas,
     radius_neighbors_sorted,
 )
 from d3feat_tpu.ops.subsample import voxel_subsample, lengths_to_mask

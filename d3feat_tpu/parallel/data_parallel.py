@@ -10,9 +10,6 @@ all-reduce — there is no hand-written communication anywhere.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 

@@ -17,10 +17,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from d3feat_tpu.train.step import TrainState

@@ -22,7 +22,6 @@ parameters bitwise identical across the mesh).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional
 
 import jax
