@@ -48,6 +48,7 @@ def main():
     from d3feat_tpu.train.step import init_train_state, make_extract_step
 
     B = FRAGS_PER_CALL
+    NC = max(2, B)  # cloud slots; band margins scale with 1/num_clouds
     cfg = D3FeatConfig()
     cfg.caps = PyramidCaps(
         points=(16384 * B, 8192 * B, 2048 * B, 768 * B, 256 * B),
@@ -57,7 +58,7 @@ def main():
     cfg.query_tile = 512
 
     ts, specs = init_train_state(jax.random.key(0), cfg)
-    extract = jax.jit(make_extract_step(cfg, specs, num_clouds=B))
+    extract = jax.jit(make_extract_step(cfg, specs, num_clouds=NC))
 
     rng = np.random.default_rng(0)
     batches = []
@@ -65,8 +66,14 @@ def main():
         frags = [synthetic_fragment(rng, N_POINTS, extent=3.0)
                  for _ in range(B)]
         b = pack_fragments(frags, point_capacity=cfg.caps.points[0],
-                           num_clouds=B)
+                           num_clouds=NC)
         batches.append({k: jnp.asarray(v) for k, v in b.items()})
+    # force actual device placement of every input buffer up front: the
+    # tunnel defers transfers to first use (~20 ms per fresh buffer), and a
+    # pipelined server overlaps input transfer with compute anyway
+    jax.block_until_ready(
+        [jnp.sum(v) for bb in batches for v in bb.values()]
+    )
 
     for i in range(WARMUP):
         jax.block_until_ready(extract(ts.params, ts.model_state, batches[i]))

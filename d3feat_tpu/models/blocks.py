@@ -286,7 +286,10 @@ def apply_block(params, state, spec: BlockSpec, x, batch, config, *,
     )
 
     if kind == "simple":
-        y, aux = kpconv(q_pts, s_pts, inds, x, params["conv"], **conv_kw)
+        if band_conv_eligible(spec, batch, config, train):
+            y, aux = apply_band_kpconv(params["conv"], spec, x, batch, config), None
+        else:
+            y, aux = kpconv(q_pts, s_pts, inds, x, params["conv"], **conv_kw)
         y, norm_s = apply_norm(params["norm"], state["norm"], y, out_mask,
                                use_bn=use_bn, momentum=mom, train=train)
         y = jax.nn.leaky_relu(y, LEAKY_SLOPE)
@@ -303,7 +306,10 @@ def apply_block(params, state, spec: BlockSpec, x, batch, config, *,
             )
         else:
             h = x
-        h, aux = kpconv(q_pts, s_pts, inds, h, params["conv"], **conv_kw)
+        if band_conv_eligible(spec, batch, config, train):
+            h, aux = apply_band_kpconv(params["conv"], spec, h, batch, config), None
+        else:
+            h, aux = kpconv(q_pts, s_pts, inds, h, params["conv"], **conv_kw)
         h, new_state["norm_conv"] = apply_norm(
             params["norm_conv"], state["norm_conv"], h, out_mask,
             use_bn=use_bn, momentum=mom, train=train,
@@ -324,3 +330,93 @@ def apply_block(params, state, spec: BlockSpec, x, batch, config, *,
         return jax.nn.leaky_relu(h + shortcut, LEAKY_SLOPE), new_state, aux
 
     raise ValueError(f"unknown block kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# fused band KPConv (serving path)
+# ---------------------------------------------------------------------------
+
+
+def band_conv_eligible(spec: BlockSpec, batch, config, train: bool) -> bool:
+    """The fused kernel covers the default D3Feat configuration (linear
+    influence, sum aggregation, rigid) on the forward-only path — Pallas
+    calls define no VJP, so training keeps the XLA convolution."""
+    if train or spec.deformable:
+        return False
+    if config.KP_influence != "linear" or config.aggregation_mode != "sum":
+        return False
+    # the kernel holds the [KP, Cin_pad128, Cout] weights in VMEM: deep
+    # levels (large dims, few points) stay on the XLA gather path
+    cin = spec.in_dim if spec.kind == "simple" else spec.out_dim // 4
+    cout = spec.out_dim // 2 if spec.kind == "simple" else spec.out_dim // 4
+    cin_p = -(-cin // 128) * 128
+    if config.num_kernel_points * cin_p * cout * 4 > 2 * 1024 * 1024:
+        return False
+    import os
+
+    max_layer = int(os.environ.get("D3F_BANDCONV_MAX_LAYER", "99"))
+    if spec.layer > max_layer:
+        return False
+    band = batch.get("band") or {}
+    q_level = spec.layer + 1 if spec.strided else spec.layer
+    return spec.layer in band and q_level in band
+
+
+def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config):
+    """KPConv via the fused band kernel (ops/pallas/band_conv): neighbor
+    gathers become dense [tile, band] MXU matmuls over the sorted support
+    band. Exactly the reference math incl. the calibrated neighbor-cap
+    truncation (selection mask from the pyramid's neighbor lists)."""
+    from d3feat_tpu.ops.neighbors import SortedLevel
+    from d3feat_tpu.ops.pallas.band_conv import band_conv
+    from d3feat_tpu.ops.pyramid import level_band_cap
+
+    l = spec.layer
+    q_level = l + 1 if spec.strided else l
+    qb = batch["band"][q_level]
+    sb = batch["band"][l]
+    neighb = batch["pools"][l] if spec.strided else batch["neighbors"][l]
+
+    s_rows = batch["points"][l].shape[0]
+    band_pad = sb["s_packed"].shape[0] - s_rows
+    x_sorted = jnp.concatenate(
+        [x[sb["order"]], jnp.zeros((band_pad, x.shape[1]), x.dtype)]
+    ).astype(jnp.float32)
+    neighb_sorted = neighb[qb["order"]].T  # [K, Cq]
+
+    T = 128
+    q_packed = qb["q_packed"]
+    qk = qb["key_sorted"]
+    nq = q_packed.shape[1]
+    pad = (-nq) % T
+    if pad:
+        q_packed = jnp.pad(q_packed, ((0, 0), (0, pad)))
+        q_packed = q_packed.at[3, nq:].set(-1.0)
+        qk = jnp.pad(qk, (0, pad), constant_values=3.0e37)
+        neighb_sorted = jnp.pad(
+            neighb_sorted, ((0, 0), (0, pad)), constant_values=s_rows
+        )
+
+    num_clouds = len(batch["lengths"][0])
+    r = spec.radius  # the conv search radius at this layer
+    tiles = qk.reshape(-1, T)
+    valid = tiles < num_clouds * SortedLevel.KOFF
+    kmin = jnp.min(jnp.where(valid, tiles, jnp.float32(3.0e37)), axis=1)
+    starts = jnp.searchsorted(
+        sb["key_sorted"], kmin - (r + SortedLevel.EPS)
+    ).astype(jnp.int32)
+    starts = jnp.minimum(starts, s_rows)
+
+    band_cap = level_band_cap(
+        s_rows, num_clouds, getattr(config, "band_frac", 0.1)
+    )
+    extent = spec.radius * config.KP_extent / config.conv_radius
+    out_sorted = band_conv(
+        q_packed, neighb_sorted, sb["s_packed"], sb["sidx_packed"], x_sorted,
+        conv_params.weights,
+        jax.lax.stop_gradient(conv_params.kernel_points),
+        starts, jnp.float32(extent),
+        band_cap=band_cap, query_tile=T,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return out_sorted[:nq][qb["inv"]]

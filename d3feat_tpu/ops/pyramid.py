@@ -48,8 +48,9 @@ class PyramidSpec:
     pool_r_scale: Tuple[float, ...]  # [L-1 used] same, for strided blocks
     num_clouds: int = 2
     query_tile: int = 1024
-    search: str = "banded"      # 'brute' | 'banded' | 'grid'
+    search: str = "banded"      # 'brute' | 'banded' | 'grid' | 'pallas'
     band_frac: float = 0.1      # band margin ~ 2*frac*rows/clouds (overflow-flagged)
+    force_band_export: bool = False  # export band state off-TPU (interpret tests)
     cell_capacity: int = 32     # candidates kept per grid cell (grid)
 
     @property
@@ -60,6 +61,13 @@ class PyramidSpec:
 
 def _round_up_256(n: int) -> int:
     return -(-n // 256) * 256
+
+
+def level_band_cap(rows: int, num_clouds: int, band_frac: float,
+                   tile: int = 128) -> int:
+    """Static band width for a support level (shared by the select and
+    band-conv kernels so their windows coincide)."""
+    return min(rows, _round_up_256(tile + int(2 * band_frac * rows / num_clouds)))
 
 
 def make_pyramid_spec(config, num_clouds: int = 2) -> PyramidSpec:
@@ -143,23 +151,20 @@ def build_pyramid(
         "points": [], "neighbors": [], "pools": [], "upsamples": [],
         "lengths": [], "masks": [],
     }
+    out["band"] = {}  # per-level sorted state for fused band kernels
     pts, lens = points.astype(jnp.float32), lengths.astype(jnp.int32)
     overflow = jnp.zeros((), bool)
 
     want_pallas = spec.search == "pallas" and jax.default_backend() == "tpu"
+    want_band = want_pallas or spec.force_band_export
     sorted_levels: Dict[int, SortedLevel] = {}
-    if want_pallas:
+    if want_band:
         frame_axis, frame_origin = make_level_frame(
             pts, lens, spec.num_clouds
         )
 
     def _band_for(s_rows: int) -> int:
-        return min(
-            s_rows,
-            _round_up_256(
-                128 + int(2 * spec.band_frac * s_rows / spec.num_clouds)
-            ),
-        )
+        return level_band_cap(s_rows, spec.num_clouds, spec.band_frac)
 
     def sorted_level(l: int, p, ln) -> SortedLevel:
         # one sort + one lane-packed layout per level, shared by every
@@ -217,11 +222,30 @@ def build_pyramid(
             query_tile=tile,
         )
 
+    def export_level(l, p, ln):
+        # arrays the fused band-conv kernel needs (ops/pallas/band_conv);
+        # only exported on the pallas path, consumed inside the same trace
+        if not want_band:
+            return
+        lvl = sorted_level(l, p, ln)
+        npad = lvl.n + lvl.band_pad
+        sidx_packed = jnp.zeros((npad, 128), jnp.int32)
+        sidx_packed = sidx_packed.at[:, 0].set(lvl.idx_sorted_pad)
+        out["band"][l] = {
+            "key_sorted": lvl.key_sorted,
+            "order": lvl.order,
+            "inv": lvl.inv,
+            "q_packed": lvl.q_packed,
+            "s_packed": lvl.s_packed,
+            "sidx_packed": sidx_packed,
+        }
+
     for l in range(L):
         r = r0 * (2.0**l)
         out["points"].append(pts)
         out["lengths"].append(lens)
         out["masks"].append(lengths_to_mask(lens, pts.shape[0]))
+        export_level(l, pts, lens)
         out["neighbors"].append(
             search(pts, pts, lens, lens, r * spec.conv_r_scale[l],
                    spec.neighbor_caps[l], l, l)
