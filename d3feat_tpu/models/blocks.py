@@ -384,7 +384,7 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config):
     ).astype(jnp.float32)
     neighb_sorted = neighb[qb["order"]].T  # [K, Cq]
 
-    T = 128
+    T = 256
     q_packed = qb["q_packed"]
     qk = qb["key_sorted"]
     nq = q_packed.shape[1]
@@ -408,7 +408,7 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config):
     starts = jnp.minimum(starts, s_rows)
 
     band_cap = level_band_cap(
-        s_rows, num_clouds, getattr(config, "band_frac", 0.1)
+        s_rows, num_clouds, getattr(config, "band_frac", 0.1), tile=T
     )
     extent = spec.radius * config.KP_extent / config.conv_radius
     out_sorted = band_conv(

@@ -103,8 +103,14 @@ def _select_kernel(
         d2 = jnp.where(row == pos[None, :], _INF, d2)
         return d2, out
 
+    # dynamic sweep bound: no query in this tile has more in-band
+    # neighbors than the tile-wide max count, so later sweeps would only
+    # emit empties (which the init already provides)
+    k_dyn = jnp.minimum(
+        jnp.max(jnp.sum(ok.astype(jnp.int32), axis=0)), jnp.int32(K)
+    )
     _, out = jax.lax.fori_loop(
-        0, K, sweep, (d2, jnp.full((K, T), empty, jnp.int32))
+        0, k_dyn, sweep, (d2, jnp.full((K, T), empty, jnp.int32))
     )
     out_ref[:] = out
 

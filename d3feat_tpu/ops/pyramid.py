@@ -164,7 +164,8 @@ def build_pyramid(
         )
 
     def _band_for(s_rows: int) -> int:
-        return level_band_cap(s_rows, spec.num_clouds, spec.band_frac)
+        return level_band_cap(s_rows, spec.num_clouds, spec.band_frac,
+                              tile=256)
 
     def sorted_level(l: int, p, ln) -> SortedLevel:
         # one sort + one lane-packed layout per level, shared by every
@@ -188,7 +189,7 @@ def build_pyramid(
         if want_pallas and s.shape[0] > 4096:
             idx, ov = radius_neighbors_sorted(
                 sorted_level(q_level, q, ql), sorted_level(s_level, s, sl),
-                r, max_k=k, query_tile=128, band_cap=_band_for(s.shape[0]),
+                r, max_k=k, query_tile=256, band_cap=_band_for(s.shape[0]),
             )
             overflow = overflow | ov
             return idx
