@@ -148,7 +148,7 @@ class Trainer:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.config
-        meters = {k: AverageMeter() for k in _METRIC_KEYS + ("skipped",)}
+        meters = {k: AverageMeter() for k in _METRIC_KEYS + ("skipped", "overflow")}
         data_timer, step_timer = Timer(), Timer()
         epoch_arr = jnp.int32(epoch)
 
@@ -170,6 +170,7 @@ class Trainer:
             for k in _METRIC_KEYS:
                 meters[k].update(float(getattr(m, k)))
             meters["skipped"].update(float(m.skipped))
+            meters["overflow"].update(float(m.overflow))
             self.global_iter += 1
 
             if self.global_iter % 100 == 0:
@@ -181,6 +182,9 @@ class Trainer:
                         "D_neg": meters["d_neg"].avg,
                         "Accuracy": meters["accuracy"].avg,
                         "lr": float(m.lr),
+                        # nonzero => static capacities too small for this
+                        # data: recalibrate with data/calibrate.py
+                        "Overflow": meters["overflow"].avg,
                     },
                     self.global_iter, prefix="train/",
                 )
