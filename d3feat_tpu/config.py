@@ -106,7 +106,9 @@ class D3FeatConfig:
     momentum: float = 0.98
     scheduler_gamma: float = 0.1 ** (1 / 80)
     scheduler_interval: int = 1
-    grad_clip_norm: float = 100.0
+    # global-norm gradient clip; <= 0 disables (reference has none — its
+    # only guard is the non-finite step skip, trainer.py:104-111)
+    grad_clip_norm: float = 0.0
 
     # --- data (reference: config.py:77-86) ---
     root: str = "/data/3DMatch/"

@@ -116,7 +116,15 @@ class PairLoader:
                             break
                         except queue.Full:
                             continue
-            q.put(None)
+            # the terminal sentinel must also be stop-aware: a blocking put
+            # against a full queue would leak this thread (and its prefetched
+            # batches) forever if the consumer abandoned iteration
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -47,12 +47,21 @@ class FeatureExtractor:
 
     def __init__(self, config: D3FeatConfig, params, model_state,
                  buckets: Sequence[int] = DEFAULT_BUCKETS,
-                 batch_fragments: int = 1):
+                 batch_fragments: int = 1,
+                 on_overflow: str = "retry"):
         self.config = config
         self.params = params
         self.model_state = model_state
         self.buckets = tuple(sorted(buckets))
         self.batch_fragments = max(1, int(batch_fragments))
+        # Capacity overflow silently truncates neighbor lists and degrades
+        # descriptors/scores; it must never pass unnoticed on the serving
+        # path. "retry": re-run in the next larger bucket (raise when the
+        # largest bucket still overflows); "warn": emit a warning and keep
+        # the degraded result; "raise": fail immediately.
+        if on_overflow not in ("retry", "warn", "raise"):
+            raise ValueError(f"on_overflow: {on_overflow!r}")
+        self.on_overflow = on_overflow
         self._steps: Dict[tuple, object] = {}
 
     def _step_for(self, cap0: int, num_clouds: int):
@@ -67,19 +76,43 @@ class FeatureExtractor:
             )
         return self._steps[key]
 
+    def _handle_overflow(self, overflow, cap0: int, context: str) -> bool:
+        """Returns True when the caller should retry in a larger bucket."""
+        if not bool(overflow):
+            return False
+        larger = [c for c in self.buckets if c > cap0]
+        if self.on_overflow == "retry" and larger:
+            return True
+        msg = (
+            f"pyramid capacity overflow extracting {context} at bucket "
+            f"{cap0}: neighbor lists were truncated and descriptors/scores "
+            f"are degraded. Raise the capacity buckets or recalibrate "
+            f"neighbor caps (d3feat_tpu.data.calibrate)."
+        )
+        if self.on_overflow == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
+            return False
+        raise RuntimeError(msg)
+
     def extract(self, points: np.ndarray):
         """(descriptors [N,D], scores [N]) for one fragment."""
         n = len(points)
         cap0 = choose_bucket(n, self.buckets)
-        step = self._step_for(cap0, 2)
-        batch = pack_single(
-            points, np.ones((n, 1), np.float32), point_capacity=cap0
-        )
-        feats, scores = step(
-            self.params, self.model_state,
-            {k: jnp.asarray(v) for k, v in batch.items()},
-        )
-        return np.asarray(feats[:n]), np.asarray(scores[:n, 0])
+        while True:
+            step = self._step_for(cap0, 2)
+            batch = pack_single(
+                points, np.ones((n, 1), np.float32), point_capacity=cap0
+            )
+            feats, scores, overflow = step(
+                self.params, self.model_state,
+                {k: jnp.asarray(v) for k, v in batch.items()},
+            )
+            if self._handle_overflow(overflow, cap0, f"fragment of {n} pts"):
+                cap0 = min(c for c in self.buckets if c > cap0)
+                continue
+            return np.asarray(feats[:n]), np.asarray(scores[:n, 0])
 
     def extract_many(self, clouds):
         """[(desc, scores)] for a list of fragments, ``batch_fragments``
@@ -93,13 +126,21 @@ class FeatureExtractor:
         for i in range(0, len(clouds), b):
             group = clouds[i : i + b]
             per_frag = choose_bucket(max(len(c) for c in group), self.buckets)
-            cap0 = per_frag * b
-            step = self._step_for(cap0, b)
-            batch = pack_fragments(group, point_capacity=cap0, num_clouds=b)
-            feats, scores = step(
-                self.params, self.model_state,
-                {k: jnp.asarray(v) for k, v in batch.items()},
-            )
+            while True:
+                cap0 = per_frag * b
+                step = self._step_for(cap0, b)
+                batch = pack_fragments(group, point_capacity=cap0,
+                                       num_clouds=b)
+                feats, scores, overflow = step(
+                    self.params, self.model_state,
+                    {k: jnp.asarray(v) for k, v in batch.items()},
+                )
+                if self._handle_overflow(
+                    overflow, per_frag, f"group of {len(group)} fragments"
+                ):
+                    per_frag = min(c for c in self.buckets if c > per_frag)
+                    continue
+                break
             feats = np.asarray(feats)
             scores = np.asarray(scores)
             row = 0

@@ -13,6 +13,7 @@ on-device XLA versions in :mod:`d3feat_tpu.ops`.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -28,19 +29,35 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _src_digest() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def build(force: bool = False) -> str:
-    """Compile the shared library if needed; returns its path."""
+    """Compile the shared library if needed; returns its path.
+
+    The build is keyed on a content hash of the source (recorded in a
+    sidecar file), never on mtimes: a fresh checkout gives the source and
+    any stale artifact identical timestamps, and only a from-source build
+    is trustworthy — binaries are never committed (``_build/`` is
+    gitignored).
+    """
     with _lock:
-        if not force and os.path.exists(_SO) and (
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
-        ):
-            return _SO
+        digest = _src_digest()
+        stamp = _SO + ".sha256"
+        if not force and os.path.exists(_SO) and os.path.exists(stamp):
+            with open(stamp) as f:
+                if f.read().strip() == digest:
+                    return _SO
         os.makedirs(os.path.dirname(_SO), exist_ok=True)
         cmd = [
             "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
             "-o", _SO, _SRC,
         ]
         subprocess.run(cmd, check=True, capture_output=True)
+        with open(stamp, "w") as f:
+            f.write(digest + "\n")
         return _SO
 
 

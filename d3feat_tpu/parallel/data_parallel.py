@@ -34,6 +34,15 @@ def make_dp_train_step(config, mesh: Mesh, specs=None, pyramid_spec=None,
     where every array in ``batch`` has a leading device axis of size
     ``mesh.shape[axis]`` (use :func:`d3feat_tpu.parallel.mesh.stack_shard_batch`).
     """
+    if config.use_batch_norm and mesh.devices.size > 1:
+        # Each device would accumulate BN running stats from its own local
+        # fragment pair; the replicated out-spec for model_state would then
+        # be unsound. The default config uses bias-only norm — cross-device
+        # BN-stat averaging is not implemented.
+        raise NotImplementedError(
+            "data-parallel training with use_batch_norm=True diverges "
+            "per-device batch-norm statistics; use the default bias norm"
+        )
     step = make_train_step(config, specs, pyramid_spec, optimizer,
                            axis_name=axis)
 
@@ -67,19 +76,20 @@ def make_dp_eval_step(config, mesh: Mesh, specs=None, pyramid_spec=None,
 
 def make_dp_extract_step(config, mesh: Mesh, specs=None, pyramid_spec=None,
                          axis: str = "data"):
-    """Data-parallel feature extraction: N fragments in, N (features, scores)
-    out, one fragment per device per call. Output keeps the leading device
-    axis so the host can unpack per-fragment results."""
+    """Data-parallel feature extraction: N fragments in, N (features, scores,
+    overflow) out, one fragment per device per call. Outputs keep the leading
+    device axis so the host can unpack per-fragment results; ``overflow[i]``
+    flags capacity truncation of fragment i (degraded outputs)."""
     step = make_extract_step(config, specs, pyramid_spec)
 
     def device_step(params, model_state, batch):
         batch = jax.tree.map(lambda x: x[0], batch)
-        feats, scores = step(params, model_state, batch)
-        return feats[None], scores[None]
+        feats, scores, overflow = step(params, model_state, batch)
+        return feats[None], scores[None], overflow[None]
 
     sharded = _shard_map(
         device_step, mesh,
         in_specs=(P(), P(), P(axis)),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
     )
     return jax.jit(sharded)

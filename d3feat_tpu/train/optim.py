@@ -24,15 +24,24 @@ import optax
 
 def make_optimizer(config) -> optax.GradientTransformation:
     """LR-free gradient transformation; pair with :func:`learning_rate`."""
+    # optional global-norm gradient clip (off by default, matching the
+    # reference, whose only guard is the non-finite step skip)
+    clip = (
+        [optax.clip_by_global_norm(config.grad_clip_norm)]
+        if getattr(config, "grad_clip_norm", 0.0) > 0.0
+        else []
+    )
     name = config.optimizer.upper()
     if name == "SGD":
         return optax.chain(
+            *clip,
             optax.add_decayed_weights(config.weight_decay),
             optax.trace(decay=config.momentum, nesterov=False),
         )
     if name in ("ADAM", "ADAMW"):
         # reference uses torch.optim.Adam(weight_decay=...) = L2 into grad
         return optax.chain(
+            *clip,
             optax.add_decayed_weights(config.weight_decay),
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         )

@@ -204,8 +204,12 @@ def make_eval_step(config, specs=None, pyramid_spec=None,
 def make_extract_step(config, specs=None, pyramid_spec=None,
                       num_clouds: int = 2):
     """Feature-extraction step for eval/serving: packed cloud(s) ->
-    (descriptors, scores) with the eval-mode local-max score gate
-    (reference: test.py:103-127 forward + slice).
+    (descriptors, scores, overflow) with the eval-mode local-max score gate
+    (reference: test.py:103-127 forward + slice). ``overflow`` is a scalar
+    bool: any pyramid level exceeded its static point or neighbor capacity,
+    i.e. neighbor lists were silently truncated and the outputs are degraded
+    — callers must surface it (the trainer reports the same flag in its
+    metrics).
 
     ``num_clouds`` > 2 batches that many independent fragments through one
     jitted program (fragments ride the cloud axis); scores use per-cloud
@@ -227,6 +231,6 @@ def make_extract_step(config, specs=None, pyramid_spec=None,
             params, model_state, full, config, specs,
             train=False, compute_dtype=compute_dtype, per_cloud_norm=True,
         )
-        return out.features, out.scores
+        return out.features, out.scores, pyr["overflow"]
 
     return extract_step

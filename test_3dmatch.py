@@ -80,11 +80,19 @@ def synthetic_eval(args, config, params, model_state):
     from d3feat_tpu.eval.extract import FeatureExtractor
     from d3feat_tpu.eval.registration import FragmentFeatures, register_scene
 
+    from d3feat_tpu.data.threedmatch import voxel_downsample
+
     rng = np.random.default_rng(0)
     extractor = FeatureExtractor(config, params, model_state)
     feats = FragmentFeatures()
     poses = {}
-    base = synthetic_fragment(rng, 4000, extent=3.0)
+    # the protocol always voxel-downsamples fragments before the network
+    # (reference: datasets/ThreeDMatch.py:190-191) — the pyramid's bounded
+    # voxel-occupancy invariant depends on this input spacing
+    base = voxel_downsample(
+        synthetic_fragment(rng, 4000, extent=3.0),
+        max(config.downsample, config.first_subsampling_dl),
+    )
     frames = []
     for f in range(3):
         rot = np.linalg.qr(rng.normal(size=(3, 3)))[0]

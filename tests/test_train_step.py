@@ -136,3 +136,38 @@ def test_dp_train_step_matches_single_device(setup):
         lambda a, b: float(jnp.max(jnp.abs(a - b))), ts1.params, ts8.params
     )
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
+def test_dp_extract_matches_single_device(setup):
+    """8 different fragments, one per virtual device: DP extraction must
+    reproduce per-fragment single-device results (incl. overflow flags)."""
+    from d3feat_tpu.data.pack import pack_single
+    from d3feat_tpu.data.synthetic import synthetic_fragment
+    from d3feat_tpu.parallel import make_dp_extract_step
+    from d3feat_tpu.train.step import make_extract_step
+
+    cfg, ts, specs = setup
+    rng = np.random.default_rng(11)
+    batches = []
+    for _ in range(8):
+        f = synthetic_fragment(rng, 300, extent=2.0)
+        batches.append(
+            pack_single(f, np.ones((len(f), 1), np.float32),
+                        point_capacity=cfg.caps.points[0])
+        )
+
+    single = jax.jit(make_extract_step(cfg, specs))
+    mesh = make_mesh(8)
+    dp = make_dp_extract_step(cfg, mesh, specs)
+    stacked = stack_shard_batch(batches, mesh)
+    feats8, scores8, ov8 = dp(ts.params, ts.model_state, stacked)
+
+    for i, b in enumerate(batches):
+        f1, s1, ov1 = single(
+            ts.params, ts.model_state, {k: jnp.asarray(v) for k, v in b.items()}
+        )
+        np.testing.assert_allclose(
+            np.asarray(feats8[i]), np.asarray(f1), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(scores8[i]), np.asarray(s1), atol=1e-5)
+        assert bool(ov8[i]) == bool(ov1)

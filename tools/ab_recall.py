@@ -1,0 +1,215 @@
+"""A/B feature-match recall: our framework vs the reference PyTorch model.
+
+The driver's accuracy north star is recall within 0.5% of the reference
+pretrained checkpoint (BASELINE.md). That checkpoint is a Google Drive
+download (reference: README.md:49) and this environment has no network
+egress, so this tool runs the strongest available substitute: the SAME
+experiment through BOTH stacks end-to-end on realistic simulated scan
+fragments with exact ground-truth poses —
+
+  scene of M depth-scan fragments (shared room, known SE(3) frames)
+    -> descriptors+scores from (a) our KPFCNN and (b) the actual reference
+       torch KPFCNN (imported from the read-only mount) with IDENTICAL
+       weights (compat.torch_import)
+    -> full registration protocol (top-k keypoints, mutual-NN, inlier
+       ratio at 10 cm, recall at 5%) on both
+    -> |recall_ours - recall_ref| must be within the 0.5% target.
+
+Run: python tools/ab_recall.py [--fragments 8] [--resolution 120 90]
+Writes AB_RECALL.json at the repo root.
+"""
+
+import argparse
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from d3feat_tpu.config import D3FeatConfig, PyramidCaps  # noqa: E402
+from d3feat_tpu.data.pack import pack_single  # noqa: E402
+from d3feat_tpu.data.synthetic import (  # noqa: E402
+    _fused_views,
+    make_room,
+)
+from d3feat_tpu.data.threedmatch import voxel_downsample  # noqa: E402
+from d3feat_tpu.eval.registration import (  # noqa: E402
+    FragmentFeatures,
+    register_scene,
+)
+from d3feat_tpu.models import apply_kpfcnn, make_kpfcnn_specs  # noqa: E402
+from d3feat_tpu.ops import build_pyramid, make_pyramid_spec  # noqa: E402
+
+REF = "/root/reference"
+
+
+def make_scene(rng, n_frags, resolution, downsample=0.03):
+    """Fragments in local frames + exact gt poses + overlap fractions."""
+    room = make_room(rng)
+    lo, hi = room[0], room[1]
+    center = (lo + hi) / 2.0
+    world, frames = [], []
+    for _ in range(n_frags):
+        w = np.zeros((0, 3))
+        while len(w) < 2000:
+            eye = rng.uniform(lo + [0.4, 0.4, 1.0],
+                              np.maximum(hi - 0.4, lo + 0.5))
+            eye[2] = min(eye[2], hi[2] - 0.4)
+            tgt = center + rng.uniform(-0.8, 0.8, 3)
+            w = voxel_downsample(
+                _fused_views(rng, room, eye, tgt, 3, resolution), downsample)
+        world.append(w)
+        c = w.mean(axis=0)
+        q = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+        frames.append((q, c))
+
+    frags = [((w - c) @ q).astype(np.float32)
+             for w, (q, c) in zip(world, frames)]
+
+    from scipy.spatial import cKDTree
+
+    poses, overlaps = {}, {}
+    for i in range(n_frags):
+        tree = cKDTree(world[i])
+        for j in range(i + 1, n_frags):
+            d, _ = tree.query(world[j], k=1, distance_upper_bound=0.1)
+            ov = float(np.isfinite(d).mean())
+            overlaps[f"{i}_{j}"] = ov
+            if ov < 0.30:  # the 3DMatch gt.log 30%-overlap criterion
+                continue
+            qi, ci = frames[i]
+            qj, cj = frames[j]
+            gt = np.eye(4)
+            gt[:3, :3] = qi.T @ qj  # frag2 = t @ gt[:3,:3].T + gt[:3,3]
+            gt[:3, 3] = (cj - ci) @ qi
+            poses[f"{i}_{j}"] = gt
+    return frags, poses, overlaps
+
+
+def ref_config_ns(cfg):
+    ns = types.SimpleNamespace()
+    for k in ("in_points_dim", "in_features_dim", "first_features_dim",
+              "first_subsampling_dl", "conv_radius", "deform_radius",
+              "num_kernel_points", "KP_extent", "KP_influence",
+              "aggregation_mode", "fixed_kernel_points", "use_batch_norm",
+              "batch_norm_momentum", "modulated", "deformable"):
+        setattr(ns, k, getattr(cfg, k))
+    ns.architecture = cfg.architecture()
+    return ns
+
+
+def torch_batch(torch, pyr, features):
+    tt = lambda a, dt: torch.from_numpy(np.asarray(a)).to(dt)  # noqa: E731
+    return {
+        "points": [tt(p, torch.float32) for p in pyr["points"]],
+        "neighbors": [tt(n, torch.long) for n in pyr["neighbors"]],
+        "pools": [tt(p, torch.long) for p in pyr["pools"]],
+        "upsamples": [tt(u, torch.long) for u in pyr["upsamples"]],
+        "features": tt(features, torch.float32),
+        "stack_lengths": [tt(np.asarray(l), torch.long)
+                          for l in pyr["lengths"]],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fragments", type=int, default=8)
+    ap.add_argument("--resolution", type=int, nargs=2, default=[120, 90])
+    ap.add_argument("--num_layers", type=int, default=5)
+    ap.add_argument("--first_features_dim", type=int, default=128)
+    ap.add_argument("--num_points", type=int, default=250)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    sys.path.insert(0, REF)
+    import torch
+    from models.architectures import KPFCNN as RefKPFCNN  # type: ignore
+
+    from d3feat_tpu.compat.torch_import import convert_state_dict
+
+    rng = np.random.default_rng(args.seed)
+    frags, poses, overlaps = make_scene(
+        rng, args.fragments, tuple(args.resolution))
+    print(f"scene: {len(frags)} fragments "
+          f"({[len(f) for f in frags]}), {len(poses)} gt pairs")
+
+    feats_ours = FragmentFeatures()
+    feats_ref = FragmentFeatures()
+
+    ref_model = None
+    for i, pts in enumerate(frags):
+        n = len(pts)
+        cfg = D3FeatConfig()
+        cfg.num_layers = args.num_layers
+        cfg.first_features_dim = args.first_features_dim
+        # EXACT level-0 capacity: the reference normalizes features by the
+        # global max over all L0 rows (architectures.py:342) — padding rows
+        # would shift it
+        caps = [n]
+        m = n
+        for _ in range(args.num_layers - 1):
+            m = max(64, m // 2)
+            caps.append(m)
+        cfg.caps = PyramidCaps(points=tuple(caps),
+                               neighbors=(40,) * args.num_layers, corr=64)
+        cfg.query_tile = 256
+
+        if ref_model is None:
+            torch.manual_seed(args.seed)
+            ref_model = RefKPFCNN(ref_config_ns(cfg)).eval()
+            specs = make_kpfcnn_specs(cfg)
+            params, model_state = convert_state_dict(
+                ref_model.state_dict(), cfg, specs, strict=True)
+
+        batch = pack_single(pts, np.ones((n, 1), np.float32),
+                            point_capacity=n)
+        spec = make_pyramid_spec(cfg, num_clouds=2)
+        pyr = dict(build_pyramid(jnp.asarray(batch["points"]),
+                                 jnp.asarray(batch["lengths"]), spec=spec))
+        assert not bool(pyr["overflow"]), f"fragment {i}: pyramid overflow"
+        pyr["features"] = jnp.asarray(batch["features"])
+
+        out, _, _ = apply_kpfcnn(params, model_state, pyr, cfg,
+                                 make_kpfcnn_specs(cfg), train=False)
+        feats_ours.add(i, pts, np.asarray(out.features)[:n],
+                       np.asarray(out.scores)[:n, 0])
+
+        with torch.no_grad():
+            rf, rs = ref_model(torch_batch(torch, pyr, batch["features"]))
+        feats_ref.add(i, pts, rf.numpy()[:n], rs.numpy()[:n, 0])
+        print(f"fragment {i}: n={n} "
+              f"max|d_feat|="
+              f"{np.abs(feats_ours.descriptors[i] - feats_ref.descriptors[i]).max():.2e}")
+
+    res_ours = register_scene(feats_ours, poses, scene="ab-ours",
+                              num_points=args.num_points)
+    res_ref = register_scene(feats_ref, poses, scene="ab-ref",
+                             num_points=args.num_points)
+    out = {
+        "gt_pairs": res_ours.gt_pairs,
+        "recall_ours": res_ours.recall,
+        "recall_ref": res_ref.recall,
+        "inlier_ratio_ours": res_ours.avg_inlier_ratio,
+        "inlier_ratio_ref": res_ref.avg_inlier_ratio,
+        "abs_recall_gap": abs(res_ours.recall - res_ref.recall),
+        "target_gap": 0.5,
+        "weights": "shared init (pretrained .pth unavailable: no egress)",
+    }
+    print(json.dumps(out, indent=2))
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "AB_RECALL.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    return 0 if out["abs_recall_gap"] <= 0.5 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
