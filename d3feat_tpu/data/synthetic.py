@@ -85,3 +85,218 @@ def synthetic_pair(
     kp = pts0[sel]
     dist_keypts = np.linalg.norm(kp[:, None] - kp[None], axis=-1).astype(np.float32)
     return pts0, pts1, corr, dist_keypts
+
+
+# ---------------------------------------------------------------------------
+# simulated depth-camera scans (realistic density profile)
+# ---------------------------------------------------------------------------
+#
+# Real 3DMatch fragments are fused RGB-D scans of indoor rooms: planar
+# walls/floors, corners, furniture, and strongly non-uniform point density
+# (quadratic falloff with camera distance). The wavy-surface generator above
+# exercises the math; these scans exercise the CAPACITY/CALIBRATION design
+# (band margins, voxel occupancy, neighbor caps) the way real data does.
+# Fragments are voxel-downsampled at the dataset resolution before being
+# returned, matching the reference protocol (datasets/ThreeDMatch.py:190-191).
+
+
+def _ray_room_exit(o, d, lo, hi):
+    """t of the nearest room-wall hit from INSIDE the [lo, hi] box."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (lo - o) / d
+        t2 = (hi - o) / d
+    t_far = np.maximum(t1, t2)          # per-axis exit t
+    return np.min(t_far, axis=-1)       # first wall crossed
+
+
+def _ray_box_enter(o, d, lo, hi):
+    """t of the nearest hit on an interior box from OUTSIDE (inf = miss)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (lo - o) / d
+        t2 = (hi - o) / d
+    t_near = np.max(np.minimum(t1, t2), axis=-1)
+    t_far = np.min(np.maximum(t1, t2), axis=-1)
+    hit = (t_near <= t_far) & (t_far > 0.0)
+    t = np.where(t_near > 0.0, t_near, np.inf)
+    return np.where(hit, t, np.inf)
+
+
+def _look_at(rng, eye, target):
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up)
+    if np.linalg.norm(right) < 1e-6:
+        right = np.array([1.0, 0.0, 0.0])
+    right = right / np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    return np.stack([right, down, fwd], axis=1)  # columns = camera axes
+
+
+def make_room(rng: np.random.Generator, n_boxes: int = 5):
+    """(room_lo, room_hi, [(lo, hi)] furniture boxes) for one scene."""
+    size = rng.uniform([3.0, 3.0, 2.4], [6.0, 6.0, 3.0])
+    lo = np.zeros(3)
+    boxes = []
+    for _ in range(n_boxes):
+        dims = rng.uniform([0.3, 0.3, 0.3], [1.5, 1.5, 1.8])
+        pos = rng.uniform([0.2, 0.2, 0.0], np.maximum(size - dims - 0.2, 0.3))
+        boxes.append((pos, pos + dims))
+    return lo, size, boxes
+
+
+def render_scan(
+    rng: np.random.Generator,
+    room,
+    eye: np.ndarray,
+    target: np.ndarray,
+    resolution=(180, 135),
+    fov_deg: float = 58.5,
+    max_depth: float = 6.0,
+) -> np.ndarray:
+    """[N, 3] WORLD-frame depth-scan points from ``eye`` toward ``target``.
+
+    Kinect-like depth noise grows quadratically with distance — the density
+    and noise profile real fragments have."""
+    lo, hi, boxes = room
+    w, h = resolution
+    R = _look_at(rng, eye, target)
+    tan = np.tan(np.radians(fov_deg) / 2.0)
+    u = np.linspace(-tan, tan, w)
+    v = np.linspace(-tan * h / w, tan * h / w, h)
+    uu, vv = np.meshgrid(u, v)
+    dirs_cam = np.stack([uu, vv, np.ones_like(uu)], axis=-1).reshape(-1, 3)
+    dirs = dirs_cam @ R.T
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    o = eye[None, :]
+    t = _ray_room_exit(o, dirs, lo, hi)
+    for blo, bhi in boxes:
+        t = np.minimum(t, _ray_box_enter(o, dirs, blo, bhi))
+    keep = np.isfinite(t) & (t > 0.3) & (t < max_depth)
+    t = t[keep]
+    dirs = dirs[keep]
+    depth_noise = 0.001 + 0.0019 * np.maximum(t - 0.4, 0.0) ** 2
+    t = t + rng.normal(0.0, 1.0, t.shape) * depth_noise
+    return (eye[None, :] + dirs * t[:, None]).astype(np.float32)
+
+
+def _fused_views(rng, room, eye, target, n_views, resolution):
+    """World-frame points fused from ``n_views`` nearby camera poses (real
+    3DMatch fragments are 50-frame fusions — single views vary wildly in
+    coverage when a wall is close)."""
+    clouds = []
+    for _ in range(n_views):
+        e = eye + rng.uniform(-0.15, 0.15, 3)
+        t = target + rng.uniform(-0.5, 0.5, 3)
+        clouds.append(render_scan(rng, room, e, t, resolution=resolution))
+    return np.concatenate(clouds, axis=0)
+
+
+def scan_fragment(
+    rng: np.random.Generator,
+    resolution=(160, 120),
+    downsample: float = 0.03,
+    room=None,
+    n_views: int = 4,
+) -> np.ndarray:
+    """One voxel-downsampled depth-scan fragment in its LOCAL (zero-mean)
+    frame, ~10-20k points at the default resolution."""
+    from d3feat_tpu.data.threedmatch import voxel_downsample
+
+    room = room or make_room(rng)
+    lo, hi, _ = room
+    pts = np.zeros((0, 3), np.float32)
+    while len(pts) < 100:  # a camera inside furniture can see ~nothing
+        eye = rng.uniform(lo + [0.4, 0.4, 1.0],
+                          np.maximum(hi - 0.4, lo + 0.5))
+        eye[2] = min(eye[2], hi[2] - 0.4)
+        target = (lo + hi) / 2.0 + rng.uniform(-0.8, 0.8, 3)
+        pts = _fused_views(rng, room, eye, target, n_views, resolution)
+    pts = voxel_downsample(pts, downsample)
+    return (pts - pts.mean(axis=0, keepdims=True)).astype(np.float32)
+
+
+def scan_pair(
+    rng: np.random.Generator,
+    resolution=(160, 120),
+    downsample: float = 0.03,
+    num_corr: int = 128,
+    corr_radius: float = 0.0375,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Two overlapping scans of one room with GT correspondences.
+
+    Returns (pts0, pts1, corr [M, 2], dist_keypts [M, M]) in the dataset's
+    layout (reference: datasets/ThreeDMatch.py:126-144): each cloud in its
+    own frame, correspondences = point pairs within ``corr_radius`` of each
+    other in world space (the 3DMatch keypts-pickle construction), subsampled
+    to ``num_corr``.
+    """
+    from scipy.spatial import cKDTree
+
+    room = make_room(rng)
+    lo, hi, _ = room
+    center = (lo + hi) / 2.0
+    eye0 = rng.uniform(lo + [0.4, 0.4, 1.0], np.maximum(hi - 0.4, lo + 0.5))
+    eye0[2] = min(eye0[2], hi[2] - 0.4)
+    eye1 = np.clip(eye0 + rng.uniform(-0.7, 0.7, 3), lo + 0.35, hi - 0.35)
+    tgt0 = center + rng.uniform(-0.8, 0.8, 3)
+    tgt1 = tgt0 + rng.uniform(-0.6, 0.6, 3)
+
+    from d3feat_tpu.data.threedmatch import voxel_downsample
+
+    w0 = voxel_downsample(
+        _fused_views(rng, room, eye0, tgt0, 3, resolution), downsample)
+    w1 = voxel_downsample(
+        _fused_views(rng, room, eye1, tgt1, 3, resolution), downsample)
+
+    tree = cKDTree(w1)
+    dist, j = tree.query(w0, k=1, distance_upper_bound=corr_radius)
+    ii = np.nonzero(np.isfinite(dist))[0]
+    pairs = np.stack([ii, j[ii]], axis=1).astype(np.int32)
+    if len(pairs) > num_corr:
+        pairs = pairs[rng.choice(len(pairs), num_corr, replace=False)]
+
+    # each cloud in its own (zero-mean, randomly rotated) frame
+    c0 = w0.mean(axis=0, keepdims=True)
+    c1 = w1.mean(axis=0, keepdims=True)
+    q0 = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+    q1 = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+    pts0 = ((w0 - c0) @ q0).astype(np.float32)
+    pts1 = ((w1 - c1) @ q1).astype(np.float32)
+
+    kp = pts0[pairs[:, 0]]
+    dist_keypts = np.linalg.norm(
+        kp[:, None] - kp[None], axis=-1).astype(np.float32)
+    return pts0, pts1, pairs, dist_keypts
+
+
+class ScanPairDataset:
+    """Loader-compatible dataset of simulated depth-scan pairs (realistic
+    density; same interface as :class:`SyntheticPairDataset`)."""
+
+    def __init__(self, size: int = 16, resolution=(160, 120),
+                 num_corr: int = 128, seed: int = 0, downsample: float = 0.03):
+        self.size = size
+        self.resolution = resolution
+        self.num_corr = num_corr
+        self.seed = seed
+        self.downsample = downsample
+
+    def __len__(self) -> int:
+        return self.size
+
+    def packed(self, index: int, *, point_capacity: int, corr_capacity: int):
+        from d3feat_tpu.data.pack import pack_pair
+
+        rng = np.random.default_rng(self.seed * 99991 + index)
+        pts0, pts1, corr, dk = scan_pair(
+            rng, resolution=self.resolution, num_corr=self.num_corr,
+            downsample=self.downsample,
+        )
+        f0 = np.ones((len(pts0), 1), np.float32)
+        f1 = np.ones((len(pts1), 1), np.float32)
+        return pack_pair(
+            pts0, pts1, f0, f1, corr, dk,
+            point_capacity=point_capacity, corr_capacity=corr_capacity,
+        )

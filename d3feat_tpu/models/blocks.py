@@ -339,9 +339,12 @@ def apply_block(params, state, spec: BlockSpec, x, batch, config, *,
 
 def band_conv_eligible(spec: BlockSpec, batch, config, train: bool) -> bool:
     """The fused kernel covers the default D3Feat configuration (linear
-    influence, sum aggregation, rigid) on the forward-only path — Pallas
-    calls define no VJP, so training keeps the XLA convolution."""
-    if train or spec.deformable:
+    influence, sum aggregation, rigid) on forward AND backward: the train
+    path runs it through ``band_conv_ad`` (custom VJP with band-tiled
+    backward kernels), so both the serving forward and the training
+    fwd+bwd hot loop (reference: models/blocks.py:237-387 + trainer.py:103)
+    stay on the MXU."""
+    if spec.deformable:
         return False
     if config.KP_influence != "linear" or config.aggregation_mode != "sum":
         return False
@@ -357,6 +360,16 @@ def band_conv_eligible(spec: BlockSpec, batch, config, train: bool) -> bool:
     max_layer = int(os.environ.get("D3F_BANDCONV_MAX_LAYER", "99"))
     if spec.layer > max_layer:
         return False
+    # a deformable block elsewhere on this level widens the level's search
+    # radius by deform_radius/conv_radius; apply_band_kpconv computes its
+    # band window from the *unscaled* spec.radius, so a rigid block on such
+    # a level would drop in-list neighbors that fall below `starts`
+    from d3feat_tpu.ops.pyramid import make_pyramid_spec
+
+    pyr = make_pyramid_spec(config)
+    scale = (pyr.pool_r_scale if spec.strided else pyr.conv_r_scale)
+    if spec.layer < len(scale) and scale[spec.layer] != 1.0:
+        return False
     band = batch.get("band") or {}
     q_level = spec.layer + 1 if spec.strided else spec.layer
     return spec.layer in band and q_level in band
@@ -366,9 +379,12 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config):
     """KPConv via the fused band kernel (ops/pallas/band_conv): neighbor
     gathers become dense [tile, band] MXU matmuls over the sorted support
     band. Exactly the reference math incl. the calibrated neighbor-cap
-    truncation (selection mask from the pyramid's neighbor lists)."""
-    from d3feat_tpu.ops.neighbors import SortedLevel
-    from d3feat_tpu.ops.pallas.band_conv import band_conv
+    truncation (selection mask from the pyramid's neighbor lists).
+    Differentiable: ``band_conv_ad`` routes grads through band-tiled
+    backward kernels (its residual-only inputs are DCE'd on the
+    forward-only serving path)."""
+    from d3feat_tpu.ops.neighbors import SortedLevel, permute_rows
+    from d3feat_tpu.ops.pallas.band_conv import band_conv_ad
     from d3feat_tpu.ops.pyramid import level_band_cap
 
     l = spec.layer
@@ -378,13 +394,20 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config):
     neighb = batch["pools"][l] if spec.strided else batch["neighbors"][l]
 
     s_rows = batch["points"][l].shape[0]
+    n_q_rows = batch["points"][q_level].shape[0]
     band_pad = sb["s_packed"].shape[0] - s_rows
+    # permute_rows keeps the sorted<->original reorders scatter-free under
+    # jax.grad (a plain x[order] gather transposes to a scatter-add)
     x_sorted = jnp.concatenate(
-        [x[sb["order"]], jnp.zeros((band_pad, x.shape[1]), x.dtype)]
+        [permute_rows(x, sb["order"], sb["inv"]),
+         jnp.zeros((band_pad, x.shape[1]), x.dtype)]
     ).astype(jnp.float32)
     neighb_sorted = neighb[qb["order"]].T  # [K, Cq]
 
-    T = 256
+    # strided blocks carry the wide pool band: the smaller tile keeps the
+    # [band, tile] panels inside the 16 MB VMEM scope (same sizing as the
+    # pyramid's pool search)
+    T = 128 if spec.strided else 256
     q_packed = qb["q_packed"]
     qk = qb["key_sorted"]
     nq = q_packed.shape[1]
@@ -407,16 +430,51 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config):
     ).astype(jnp.int32)
     starts = jnp.minimum(starts, s_rows)
 
+    # density ratio: a strided block's query tile spans ~T * ratio support
+    # rows (same sizing as the pyramid's pool search at this level)
     band_cap = level_band_cap(
-        s_rows, num_clouds, getattr(config, "band_frac", 0.1), tile=T
+        s_rows, num_clouds, getattr(config, "band_frac", 0.1), tile=T,
+        ratio=-(-s_rows // n_q_rows),
     )
     extent = spec.radius * config.KP_extent / config.conv_radius
-    out_sorted = band_conv(
+
+    # backward-pass residuals: query-side arrays in key-sorted ROW layout
+    # (the query level's own support packing) + query-band starts per
+    # support tile — dead on the forward-only path, DCE'd by XLA.
+    # The reverse (support-tiled) window needs only a ratio-1 band on the
+    # query side: for strided convs the queries are the SPARSER level, so
+    # a support tile spans fewer query rows than its own width.
+    bq_pad = qb["s_packed"].shape[0] - n_q_rows
+    bq_cap = min(
+        level_band_cap(n_q_rows, num_clouds,
+                       getattr(config, "band_frac", 0.1), tile=T, ratio=1),
+        bq_pad,
+    )
+    assert bq_cap <= bq_pad, "query-level band pad too small for bwd window"
+    k_width = neighb.shape[1]
+    nb_rows = jnp.full((n_q_rows + bq_cap, 128), -1, jnp.int32)
+    nb_rows = nb_rows.at[:n_q_rows, :k_width].set(neighb[qb["order"]])
+
+    hs0 = sb["s_packed"].shape[0]
+    hs = -(-hs0 // T) * T
+    s_keys = jnp.concatenate([
+        sb["key_sorted"],
+        jnp.full((hs - s_rows,), 3.0e37, jnp.float32),
+    ])
+    s_kmin = jnp.min(s_keys.reshape(-1, T), axis=1)
+    starts_s = jnp.searchsorted(
+        qb["key_sorted"], s_kmin - (r + SortedLevel.EPS)
+    ).astype(jnp.int32)
+    starts_s = jnp.minimum(starts_s, n_q_rows)
+
+    out_sorted = band_conv_ad(
+        band_cap, T, bq_cap, jax.default_backend() != "tpu",
         q_packed, neighb_sorted, sb["s_packed"], sb["sidx_packed"], x_sorted,
         conv_params.weights,
         jax.lax.stop_gradient(conv_params.kernel_points),
         starts, jnp.float32(extent),
-        band_cap=band_cap, query_tile=T,
-        interpret=jax.default_backend() != "tpu",
+        # sliced so row count == n_q + bq_cap (the bwd glue derives n_q
+        # from q_rows.shape[0] - bq_cap)
+        qb["s_packed"][: n_q_rows + bq_cap], nb_rows, starts_s,
     )
-    return out_sorted[:nq][qb["inv"]]
+    return permute_rows(out_sorted[:n_q_rows], qb["inv"], qb["order"])

@@ -165,36 +165,38 @@ def radius_neighbors_banded(
     q_valid = q_cid < num_clouds
     s_valid = s_cid < num_clouds
 
-    # per-cloud bbox over queries ∪ supports -> longest axis + min corner
     big = jnp.float32(3.0e37)
 
-    def seg_ext(pts, cid, valid):
+    # density-aware banding axis over the SUPPORTS (what fills the band);
+    # see make_level_frame — axis-aligned planes perpendicular to a naive
+    # longest-axis pick project onto one key plateau and overflow the band
+    axis_dir, _ = make_level_frame(
+        supports, s_lengths, num_clouds, window=2.0 * r + 0.04
+    )  # [B, 3]
+    # origin from the combined q ∪ s bbox so no valid query clamps to bin 0
+    cidc_q = jnp.minimum(q_cid, num_clouds - 1)
+    cidc_s = jnp.minimum(s_cid, num_clouds - 1)
+    proj_q = jnp.sum(queries.astype(jnp.float32) * axis_dir[cidc_q], axis=1)
+    proj_s = jnp.sum(supports.astype(jnp.float32) * axis_dir[cidc_s], axis=1)
+    o_q = jax.ops.segment_min(
+        jnp.where(q_valid, proj_q, big), cidc_q, num_segments=num_clouds)
+    o_s = jax.ops.segment_min(
+        jnp.where(s_valid, proj_s, big), cidc_s, num_segments=num_clouds)
+    origin = jnp.minimum(o_q, o_s)  # [B]
+
+    # continuous float keys (cloud offset + projection), like SortedLevel:
+    # integer r-bins added up to 2 bins (~2r of rows) of window slack
+    koff = jnp.float32(SortedLevel.KOFF)
+    keps = jnp.float32(SortedLevel.EPS)
+
+    def keys_of(proj, cid, valid):
         cidc = jnp.minimum(cid, num_clouds - 1)
-        lo = jax.ops.segment_min(
-            jnp.where(valid[:, None], pts, big), cidc, num_segments=num_clouds)
-        hi = jax.ops.segment_max(
-            jnp.where(valid[:, None], pts, -big), cidc, num_segments=num_clouds)
-        return lo, hi
+        p = jnp.clip(proj - origin[cidc], 0.0, koff - 1.0)
+        key = cid.astype(jnp.float32) * koff + p
+        return jnp.where(valid, key, num_clouds * koff)
 
-    qlo, qhi = seg_ext(queries, q_cid, q_valid)
-    slo, shi = seg_ext(supports, s_cid, s_valid)
-    lo_c = jnp.minimum(qlo, slo)
-    hi_c = jnp.maximum(qhi, shi)
-    axis_onehot = jax.nn.one_hot(
-        jnp.argmax(hi_c - lo_c, axis=1), 3, dtype=jnp.float32)  # [B, 3]
-    origin = jnp.sum(lo_c * axis_onehot, axis=1)  # [B]
-
-    _BINS = 1 << 20
-
-    def keys_of(pts, cid, valid):
-        cidc = jnp.minimum(cid, num_clouds - 1)
-        proj = jnp.sum(pts * axis_onehot[cidc], axis=1) - origin[cidc]
-        b = jnp.clip(jnp.floor(proj / r).astype(jnp.int32), 0, _BINS - 2)
-        key = cid.astype(jnp.int32) * _BINS + b
-        return jnp.where(valid, key, num_clouds * _BINS + _BINS - 2)
-
-    q_key = keys_of(queries, q_cid, q_valid)
-    s_key = keys_of(supports, s_cid, s_valid)
+    q_key = keys_of(proj_q, q_cid, q_valid)
+    s_key = keys_of(proj_s, s_cid, s_valid)
 
     qord = jnp.argsort(q_key)
     sord = jnp.argsort(s_key)
@@ -222,7 +224,8 @@ def radius_neighbors_banded(
     ss_c = jnp.where((scid_pad < num_clouds)[:, None], ss_pad - center, 0.0)
 
     pad = (-nq) % query_tile
-    qk_p = jnp.pad(qk, (0, pad), constant_values=(num_clouds + 1) * _BINS)
+    qk_p = jnp.pad(qk, (0, pad),
+                   constant_values=float((num_clouds + 1) * SortedLevel.KOFF))
     qc_p = jnp.pad(qs_c, ((0, pad), (0, 0)))
     qcid_p = jnp.pad(qcid_s, (0, pad), constant_values=-1)
     n_tiles = qk_p.shape[0] // query_tile
@@ -234,10 +237,10 @@ def radius_neighbors_banded(
         # loop; the sidx translation is one vectorized gather outside.
         tkeys, qt, qt_cid = args  # [T], [T,3], [T]
         valid_t = qt_cid >= 0
-        kmin = jnp.min(jnp.where(valid_t, tkeys, jnp.int32(2**30)))
-        kmax = jnp.max(jnp.where(valid_t, tkeys, jnp.int32(-1)))
-        lo = jnp.searchsorted(sk, kmin - 1)
-        hi = jnp.searchsorted(sk, kmax + 2)
+        kmin = jnp.min(jnp.where(valid_t, tkeys, jnp.float32(3.0e37)))
+        kmax = jnp.max(jnp.where(valid_t, tkeys, jnp.float32(-3.0e37)))
+        lo = jnp.searchsorted(sk, kmin - r - keps)
+        hi = jnp.searchsorted(sk, kmax + r + keps)
         overflow_t = (hi - lo) > band_cap
 
         band = jax.lax.dynamic_slice(ss_c, (lo, 0), (band_cap, 3))
@@ -321,33 +324,30 @@ def radius_neighbors_pallas(
 
     big = jnp.float32(3.0e37)
 
-    def seg_ext(pts, cid, valid):
+    # density-aware banding axis over the supports + continuous float keys
+    # (see radius_neighbors_banded / make_level_frame)
+    axis_dir, _ = make_level_frame(
+        supports, s_lengths, num_clouds, window=2.0 * r + 0.04)
+    cidc_q = jnp.minimum(q_cid, num_clouds - 1)
+    cidc_s = jnp.minimum(s_cid, num_clouds - 1)
+    proj_q = jnp.sum(queries.astype(jnp.float32) * axis_dir[cidc_q], axis=1)
+    proj_s = jnp.sum(supports.astype(jnp.float32) * axis_dir[cidc_s], axis=1)
+    o_q = jax.ops.segment_min(
+        jnp.where(q_valid, proj_q, big), cidc_q, num_segments=num_clouds)
+    o_s = jax.ops.segment_min(
+        jnp.where(s_valid, proj_s, big), cidc_s, num_segments=num_clouds)
+    origin = jnp.minimum(o_q, o_s)
+    koff = jnp.float32(SortedLevel.KOFF)
+    keps = jnp.float32(SortedLevel.EPS)
+
+    def keys_of(proj, cid, valid):
         cidc = jnp.minimum(cid, num_clouds - 1)
-        lo = jax.ops.segment_min(
-            jnp.where(valid[:, None], pts, big), cidc, num_segments=num_clouds)
-        hi = jax.ops.segment_max(
-            jnp.where(valid[:, None], pts, -big), cidc, num_segments=num_clouds)
-        return lo, hi
+        p = jnp.clip(proj - origin[cidc], 0.0, koff - 1.0)
+        key = cid.astype(jnp.float32) * koff + p
+        return jnp.where(valid, key, num_clouds * koff)
 
-    qlo, qhi = seg_ext(queries, q_cid, q_valid)
-    slo, shi = seg_ext(supports, s_cid, s_valid)
-    lo_c = jnp.minimum(qlo, slo)
-    hi_c = jnp.maximum(qhi, shi)
-    axis_onehot = jax.nn.one_hot(
-        jnp.argmax(hi_c - lo_c, axis=1), 3, dtype=jnp.float32)
-    origin = jnp.sum(lo_c * axis_onehot, axis=1)
-
-    _BINS = 1 << 20
-
-    def keys_of(pts, cid, valid):
-        cidc = jnp.minimum(cid, num_clouds - 1)
-        proj = jnp.sum(pts * axis_onehot[cidc], axis=1) - origin[cidc]
-        b = jnp.clip(jnp.floor(proj / r).astype(jnp.int32), 0, _BINS - 2)
-        key = cid.astype(jnp.int32) * _BINS + b
-        return jnp.where(valid, key, num_clouds * _BINS + _BINS - 2)
-
-    q_key = keys_of(queries, q_cid, q_valid)
-    s_key = keys_of(supports, s_cid, s_valid)
+    q_key = keys_of(proj_q, q_cid, q_valid)
+    s_key = keys_of(proj_s, s_cid, s_valid)
     qord = jnp.argsort(q_key)
     sord = jnp.argsort(s_key)
     qk = q_key[qord]
@@ -366,17 +366,18 @@ def radius_neighbors_pallas(
         [sidx_s, jnp.full((band_cap,), shadow, jnp.int32)])
 
     pad = (-nq) % query_tile
-    qk_p = jnp.pad(qk, (0, pad), constant_values=(num_clouds + 1) * _BINS)
+    qk_p = jnp.pad(qk, (0, pad),
+                   constant_values=float((num_clouds + 1) * SortedLevel.KOFF))
     qs_p = jnp.pad(qs, ((0, pad), (0, 0)))
     qcid_p = jnp.pad(qcid_s, (0, pad), constant_values=-1)
     n_tiles = qk_p.shape[0] // query_tile
 
     tiles = qk_p.reshape(n_tiles, query_tile)
     tvalid = qcid_p.reshape(n_tiles, query_tile) >= 0
-    kmin = jnp.min(jnp.where(tvalid, tiles, jnp.int32(2**30)), axis=1)
-    kmax = jnp.max(jnp.where(tvalid, tiles, jnp.int32(-1)), axis=1)
-    starts = jnp.searchsorted(sk, kmin - 1).astype(jnp.int32)
-    ends = jnp.searchsorted(sk, kmax + 2).astype(jnp.int32)
+    kmin = jnp.min(jnp.where(tvalid, tiles, jnp.float32(3.0e37)), axis=1)
+    kmax = jnp.max(jnp.where(tvalid, tiles, jnp.float32(-3.0e37)), axis=1)
+    starts = jnp.searchsorted(sk, kmin - r - keps).astype(jnp.int32)
+    ends = jnp.searchsorted(sk, kmax + r + keps).astype(jnp.int32)
     overflow = jnp.any((ends - starts) > band_cap)
     starts = jnp.minimum(starts, ns)  # slice stays within ss_pad
 
@@ -450,22 +451,63 @@ class SortedLevel:
         self.cid_sorted = cid_sorted
 
 
-def make_level_frame(points, lengths, num_clouds):
-    """(axis_onehot [B,3], origin [B]) from the level-0 clouds; reused by
-    every level (subsampled barycenters stay inside the level-0 hull)."""
+# banding-axis candidates: the 3 coordinate axes + the 4 body diagonals.
+# Real indoor scans are full of axis-aligned planes (walls, floors); a plane
+# PERPENDICULAR to the banding axis projects all its points onto one key
+# plateau, blowing past any affordable band width. A diagonal axis is never
+# perpendicular to an axis-aligned plane, and the density-aware pick below
+# chooses whichever candidate has the flattest worst-case key window.
+_SQ3 = 0.5773502691896258
+_FRAME_DIRS = (
+    (1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0),
+    (_SQ3, _SQ3, _SQ3), (_SQ3, _SQ3, -_SQ3),
+    (_SQ3, -_SQ3, _SQ3), (-_SQ3, _SQ3, _SQ3),
+)
+
+
+def make_level_frame(points, lengths, num_clouds, window: float = 0.17):
+    """(axis [B,3] unit banding direction, origin [B]) per cloud.
+
+    Picks, per cloud, the candidate direction whose projected keys have the
+    SMALLEST maximum row count inside any ``window``-wide key interval —
+    i.e. the direction along which the band kernels' static caps are least
+    stressed. ``window`` should be ~2x the level-0 search radius. Computed
+    once from the level-0 clouds and reused by every level (subsampled
+    barycenters stay inside the level-0 hull, with the same anisotropy).
+    """
     n = points.shape[0]
     cid = lengths_to_cloud_ids(lengths, n)
     valid = cid < num_clouds
     cidc = jnp.minimum(cid, num_clouds - 1)
     big = jnp.float32(3.0e37)
-    lo = jax.ops.segment_min(
-        jnp.where(valid[:, None], points, big), cidc, num_segments=num_clouds)
-    hi = jax.ops.segment_max(
-        jnp.where(valid[:, None], points, -big), cidc, num_segments=num_clouds)
-    axis_onehot = jax.nn.one_hot(
-        jnp.argmax(hi - lo, axis=1), 3, dtype=jnp.float32)
-    origin = jnp.sum(lo * axis_onehot, axis=1) - 1.0
-    return axis_onehot, origin
+
+    dirs = jnp.asarray(_FRAME_DIRS, jnp.float32)          # [D, 3]
+    projs = points.astype(jnp.float32) @ dirs.T            # [N, D]
+    lo_proj = jax.ops.segment_min(
+        jnp.where(valid[:, None], projs, big), cidc, num_segments=num_clouds
+    )                                                      # [B, D]
+
+    koff = jnp.float32(SortedLevel.KOFF)
+    keys = cidc[:, None].astype(jnp.float32) * koff + (projs - lo_proj[cidc])
+    keys = jnp.where(valid[:, None], keys, big)
+    keys_sorted = jnp.sort(keys, axis=0)                   # per-dir columns
+
+    def win_count(col):
+        # rows within [k_i, k_i + window] of each sorted key; the KOFF
+        # cloud separation keeps windows inside one cloud
+        return jnp.searchsorted(col, col + window) - jnp.arange(n)
+
+    counts = jax.vmap(win_count, in_axes=1, out_axes=1)(keys_sorted)  # [N, D]
+    cid_sorted = jnp.floor(keys_sorted / koff).astype(jnp.int32)
+    cid_sorted = jnp.clip(cid_sorted, 0, num_clouds - 1)
+    worst = jnp.stack([
+        jnp.max(jnp.where(cid_sorted == b, counts, 0), axis=0)
+        for b in range(num_clouds)
+    ])                                                     # [B, D]
+    best = jnp.argmin(worst, axis=1)                       # [B]
+    axis = dirs[best]                                      # [B, 3]
+    origin = jnp.take_along_axis(lo_proj, best[:, None], axis=1)[:, 0] - 1.0
+    return axis, origin
 
 
 def radius_neighbors_sorted(
@@ -703,3 +745,25 @@ def count_in_radius(
         (q_p.reshape(n_tiles, query_tile, 3), qcid_p.reshape(n_tiles, query_tile)),
     )
     return out.reshape(-1)[:nq]
+
+
+@jax.custom_vjp
+def permute_rows(x, perm, perm_inv):
+    """``x[perm]`` for a PERMUTATION ``perm`` with known inverse.
+
+    XLA's transpose of a gather is a scatter-add (~ms flat on TPU); for a
+    bijective index map the cotangent is just the inverse gather, so this
+    keeps the band-conv backward scatter-free. ``perm_inv`` must satisfy
+    ``perm[perm_inv[j]] == j`` (e.g. ``argsort(perm)``)."""
+    return jnp.take(x, perm, axis=0)
+
+
+def _permute_rows_fwd(x, perm, perm_inv):
+    return jnp.take(x, perm, axis=0), perm_inv
+
+
+def _permute_rows_bwd(perm_inv, g):
+    return jnp.take(g, perm_inv, axis=0), None, None
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)

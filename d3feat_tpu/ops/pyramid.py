@@ -64,10 +64,24 @@ def _round_up_256(n: int) -> int:
 
 
 def level_band_cap(rows: int, num_clouds: int, band_frac: float,
-                   tile: int = 128) -> int:
+                   tile: int = 128, ratio: int = 1) -> int:
     """Static band width for a support level (shared by the select and
-    band-conv kernels so their windows coincide)."""
-    return min(rows, _round_up_256(tile + int(2 * band_frac * rows / num_clouds)))
+    band-conv kernels so their windows coincide).
+
+    ``ratio`` = ceil(support capacity / query capacity) of the search: a
+    tile of T *query* rows spans ~T * ratio *support* rows along the sorted
+    axis, so strided (pool) searches — queries are the subsampled level —
+    need their band sized by the density ratio, not just the tile width.
+    The capacity ratio UNDERESTIMATES the valid-row ratio (voxel-size
+    doubling thins fused surface scans up to ~8x while capacity schedules
+    halve), so strided ratios get a 4x allowance — pool searches are one
+    per level transition, so the wider band is cheap relative to the conv
+    searches. (Round 1 sized every band with ratio 1, silently truncating
+    pool neighborhoods at realistic shapes.)"""
+    eff = 1 if ratio <= 1 else 4 * ratio
+    return min(rows, _round_up_256(
+        tile * eff + int(2 * band_frac * rows / num_clouds)
+    ))
 
 
 def make_pyramid_spec(config, num_clouds: int = 2) -> PyramidSpec:
@@ -163,22 +177,39 @@ def build_pyramid(
             pts, lens, spec.num_clouds
         )
 
-    def _band_for(s_rows: int) -> int:
-        return level_band_cap(s_rows, spec.num_clouds, spec.band_frac,
-                              tile=256)
+    def _level_ratio(l: int) -> int:
+        # worst-case support/query density ratio for searches with level l
+        # as support: the pool search from level l+1 (if any)
+        if l + 1 < L:
+            return -(-spec.point_caps[l] // spec.point_caps[l + 1])
+        return 1
+
+    def _band_for(l: int, s_rows: int) -> int:
+        # pad for the widest search reading this level as support: the
+        # conv search (tile 256, ratio 1) or the pool search from l+1
+        # (tile 128 — smaller tiles keep the wider pool band inside the
+        # 16 MB VMEM scope)
+        return max(
+            level_band_cap(s_rows, spec.num_clouds, spec.band_frac,
+                           tile=256, ratio=1),
+            level_band_cap(s_rows, spec.num_clouds, spec.band_frac,
+                           tile=128, ratio=_level_ratio(l)),
+        )
 
     def sorted_level(l: int, p, ln) -> SortedLevel:
         # one sort + one lane-packed layout per level, shared by every
-        # conv/pool/upsample search touching the level
+        # conv/pool/upsample search touching the level; padded for the most
+        # demanding (largest-ratio) search that reads the level
         if l not in sorted_levels:
             sorted_levels[l] = SortedLevel(
                 p, ln, spec.num_clouds, frame_axis, frame_origin,
-                band_pad=_band_for(p.shape[0]),
+                band_pad=_band_for(l, p.shape[0]),
             )
         return sorted_levels[l]
 
     def search(q, s, ql, sl, r, k, q_level, s_level):
         nonlocal overflow
+        ratio = -(-s.shape[0] // q.shape[0])  # >= 1 only for pool searches
         tile = min(spec.query_tile, q.shape[0])
         if s.shape[0] > q.shape[0]:
             # strided (pool) search: fewer queries than supports — shrink the
@@ -187,9 +218,14 @@ def build_pyramid(
         # banding only pays off (and only has safe margins) on large
         # support sets; small levels fall back to the exact brute panel
         if want_pallas and s.shape[0] > 4096:
+            qt = 128 if ratio > 1 else 256  # pool bands are wide: smaller
+            # tiles keep the [band, tile] panel inside the VMEM scope
             idx, ov = radius_neighbors_sorted(
                 sorted_level(q_level, q, ql), sorted_level(s_level, s, sl),
-                r, max_k=k, query_tile=256, band_cap=_band_for(s.shape[0]),
+                r, max_k=k, query_tile=qt,
+                band_cap=level_band_cap(s.shape[0], spec.num_clouds,
+                                        spec.band_frac, tile=qt,
+                                        ratio=ratio),
             )
             overflow = overflow | ov
             return idx
@@ -197,13 +233,11 @@ def build_pyramid(
                 (spec.search == "pallas" and not want_pallas)) \
                 and s.shape[0] > 4096:
             # a sorted query tile stays inside one cloud, so the band margin
-            # scales with the PER-CLOUD row count, not the stacked total
-            band = min(
-                s.shape[0],
-                _round_up_256(
-                    tile
-                    + int(2 * spec.band_frac * s.shape[0] / spec.num_clouds)
-                ),
+            # scales with the PER-CLOUD row count, not the stacked total;
+            # tile span + density ratio handled by the shared cap formula
+            band = level_band_cap(
+                s.shape[0], spec.num_clouds, spec.band_frac,
+                tile=tile, ratio=ratio,
             )
             idx, ov = radius_neighbors_banded(
                 q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
@@ -257,8 +291,11 @@ def build_pyramid(
                 out_capacity=spec.point_caps[l + 1], num_clouds=spec.num_clouds,
                 # dl doubles per level over points spaced >= previous dl:
                 # occupancy is bounded ~(2+1)^3; 32 covers it with margin
-                # (the overflow flag reports violations)
-                occupancy_cap=32,
+                # (the overflow flag reports violations). Level 0's input
+                # spacing comes from the dataset's host downsample (plus
+                # augmentation noise), not from a previous pyramid level —
+                # give it double the margin.
+                occupancy_cap=64 if l == 0 else 32,
             )
             overflow = overflow | sub.overflow
             out["pools"].append(
