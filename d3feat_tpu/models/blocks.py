@@ -370,6 +370,8 @@ def band_conv_eligible(spec: BlockSpec, batch, config, train: bool) -> bool:
     scale = (pyr.pool_r_scale if spec.strided else pyr.conv_r_scale)
     if spec.layer < len(scale) and scale[spec.layer] != 1.0:
         return False
+    # a non-empty band dict implies the pyramid's sorted-space contract,
+    # which the fused path assumes
     band = batch.get("band") or {}
     q_level = spec.layer + 1 if spec.strided else spec.layer
     return spec.layer in band and q_level in band
@@ -382,8 +384,12 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config):
     truncation (selection mask from the pyramid's neighbor lists).
     Differentiable: ``band_conv_ad`` routes grads through band-tiled
     backward kernels (its residual-only inputs are DCE'd on the
-    forward-only serving path)."""
-    from d3feat_tpu.ops.neighbors import SortedLevel, permute_rows
+    forward-only serving path).
+
+    Requires the pyramid's SORTED-SPACE contract (pyr['sorted_space']):
+    features/points/lists already live in key-sorted order with position-
+    valued lists, so no per-block reorder gathers exist at all."""
+    from d3feat_tpu.ops.neighbors import SortedLevel
     from d3feat_tpu.ops.pallas.band_conv import band_conv_ad
     from d3feat_tpu.ops.pyramid import level_band_cap
 
@@ -396,18 +402,16 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config):
     s_rows = batch["points"][l].shape[0]
     n_q_rows = batch["points"][q_level].shape[0]
     band_pad = sb["s_packed"].shape[0] - s_rows
-    # permute_rows keeps the sorted<->original reorders scatter-free under
-    # jax.grad (a plain x[order] gather transposes to a scatter-add)
     x_sorted = jnp.concatenate(
-        [permute_rows(x, sb["order"], sb["inv"]),
-         jnp.zeros((band_pad, x.shape[1]), x.dtype)]
+        [x, jnp.zeros((band_pad, x.shape[1]), x.dtype)]
     ).astype(jnp.float32)
-    neighb_sorted = neighb[qb["order"]].T  # [K, Cq]
+    neighb_sorted = neighb.T  # [K, Cq] — already sorted rows + positions
 
     # strided blocks carry the wide pool band: the smaller tile keeps the
-    # [band, tile] panels inside the 16 MB VMEM scope (same sizing as the
-    # pyramid's pool search)
+    # [band, tile] panels (the kernel's VMEM footprint rides band * tile)
+    # bounded — same sizing as the pyramid's pool search
     T = 128 if spec.strided else 256
+    num_clouds = len(batch["lengths"][0])
     q_packed = qb["q_packed"]
     qk = qb["key_sorted"]
     nq = q_packed.shape[1]
@@ -420,13 +424,12 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config):
             neighb_sorted, ((0, 0), (0, pad)), constant_values=s_rows
         )
 
-    num_clouds = len(batch["lengths"][0])
     r = spec.radius  # the conv search radius at this layer
     tiles = qk.reshape(-1, T)
     valid = tiles < num_clouds * SortedLevel.KOFF
     kmin = jnp.min(jnp.where(valid, tiles, jnp.float32(3.0e37)), axis=1)
     starts = jnp.searchsorted(
-        sb["key_sorted"], kmin - (r + SortedLevel.EPS)
+        sb["key_sorted"], kmin - (r + SortedLevel.EPS), method="sort"
     ).astype(jnp.int32)
     starts = jnp.minimum(starts, s_rows)
 
@@ -438,43 +441,11 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config):
     )
     extent = spec.radius * config.KP_extent / config.conv_radius
 
-    # backward-pass residuals: query-side arrays in key-sorted ROW layout
-    # (the query level's own support packing) + query-band starts per
-    # support tile — dead on the forward-only path, DCE'd by XLA.
-    # The reverse (support-tiled) window needs only a ratio-1 band on the
-    # query side: for strided convs the queries are the SPARSER level, so
-    # a support tile spans fewer query rows than its own width.
-    bq_pad = qb["s_packed"].shape[0] - n_q_rows
-    bq_cap = min(
-        level_band_cap(n_q_rows, num_clouds,
-                       getattr(config, "band_frac", 0.1), tile=T, ratio=1),
-        bq_pad,
-    )
-    assert bq_cap <= bq_pad, "query-level band pad too small for bwd window"
-    k_width = neighb.shape[1]
-    nb_rows = jnp.full((n_q_rows + bq_cap, 128), -1, jnp.int32)
-    nb_rows = nb_rows.at[:n_q_rows, :k_width].set(neighb[qb["order"]])
-
-    hs0 = sb["s_packed"].shape[0]
-    hs = -(-hs0 // T) * T
-    s_keys = jnp.concatenate([
-        sb["key_sorted"],
-        jnp.full((hs - s_rows,), 3.0e37, jnp.float32),
-    ])
-    s_kmin = jnp.min(s_keys.reshape(-1, T), axis=1)
-    starts_s = jnp.searchsorted(
-        qb["key_sorted"], s_kmin - (r + SortedLevel.EPS)
-    ).astype(jnp.int32)
-    starts_s = jnp.minimum(starts_s, n_q_rows)
-
     out_sorted = band_conv_ad(
-        band_cap, T, bq_cap, jax.default_backend() != "tpu",
-        q_packed, neighb_sorted, sb["s_packed"], sb["sidx_packed"], x_sorted,
+        band_cap, T, jax.default_backend() != "tpu",
+        q_packed, neighb_sorted, sb["s_packed"], x_sorted,
         conv_params.weights,
         jax.lax.stop_gradient(conv_params.kernel_points),
         starts, jnp.float32(extent),
-        # sliced so row count == n_q + bq_cap (the bwd glue derives n_q
-        # from q_rows.shape[0] - bq_cap)
-        qb["s_packed"][: n_q_rows + bq_cap], nb_rows, starts_s,
     )
-    return permute_rows(out_sorted[:n_q_rows], qb["inv"], qb["order"])
+    return out_sorted[:n_q_rows]

@@ -490,14 +490,21 @@ def make_level_frame(points, lengths, num_clouds, window: float = 0.17):
     koff = jnp.float32(SortedLevel.KOFF)
     keys = cidc[:, None].astype(jnp.float32) * koff + (projs - lo_proj[cidc])
     keys = jnp.where(valid[:, None], keys, big)
+    # the probe only needs RELATIVE density across directions: a strided
+    # subsample keeps it cheap, and method='sort' keeps searchsorted
+    # vectorized (the default 'scan' lowers to a ~13 ms while loop at 16k)
+    stride = max(1, n // 2048)
+    keys = keys[::stride]
+    m = keys.shape[0]
     keys_sorted = jnp.sort(keys, axis=0)                   # per-dir columns
 
     def win_count(col):
         # rows within [k_i, k_i + window] of each sorted key; the KOFF
         # cloud separation keeps windows inside one cloud
-        return jnp.searchsorted(col, col + window) - jnp.arange(n)
+        return jnp.searchsorted(col, col + window,
+                                method="sort") - jnp.arange(m)
 
-    counts = jax.vmap(win_count, in_axes=1, out_axes=1)(keys_sorted)  # [N, D]
+    counts = jax.vmap(win_count, in_axes=1, out_axes=1)(keys_sorted)  # [m, D]
     cid_sorted = jnp.floor(keys_sorted / koff).astype(jnp.int32)
     cid_sorted = jnp.clip(cid_sorted, 0, num_clouds - 1)
     worst = jnp.stack([
@@ -519,6 +526,7 @@ def radius_neighbors_sorted(
     query_tile: int,
     band_cap: int,
     interpret: bool = False,
+    raw_positions: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Pallas band search over pre-sorted levels (same contract as
     :func:`radius_neighbors_pallas`, ~zero per-call XLA preprocessing)."""
@@ -544,9 +552,9 @@ def radius_neighbors_sorted(
     kmax = jnp.max(jnp.where(tvalid, tiles, jnp.float32(-1.0)), axis=1)
     margin = r + SortedLevel.EPS
     starts = jnp.searchsorted(
-        s_level.key_sorted, kmin - margin).astype(jnp.int32)
+        s_level.key_sorted, kmin - margin, method="sort").astype(jnp.int32)
     ends = jnp.searchsorted(
-        s_level.key_sorted, kmax + margin).astype(jnp.int32)
+        s_level.key_sorted, kmax + margin, method="sort").astype(jnp.int32)
     overflow = jnp.any((ends - starts) > band_cap)
     starts = jnp.minimum(starts, ns)
 
@@ -555,6 +563,16 @@ def radius_neighbors_sorted(
         max_k=min(max_k, band_cap), band_cap=band_cap,
         query_tile=query_tile, interpret=interpret,
     )
+    if raw_positions:
+        # sorted-space contract: rows stay in sorted-query order and values
+        # are sorted-support POSITIONS (shadow/empty -> ns). Skips two
+        # [Nq, K] gathers (the orig-index translation and the inv reorder)
+        # that cost ~ms each at 16k x 40.
+        out = jnp.minimum(pos[:nq], ns)
+        if out.shape[1] < max_k:
+            out = jnp.pad(out, ((0, 0), (0, max_k - out.shape[1])),
+                          constant_values=ns)
+        return out, overflow
     out_sorted = s_level.idx_sorted_pad[
         jnp.minimum(pos[:nq], ns + s_level.band_pad - 1)
     ]

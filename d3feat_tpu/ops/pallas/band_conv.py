@@ -42,19 +42,17 @@ from jax.experimental.pallas import tpu as pltpu
 def _band_conv_kernel(
     starts_ref,          # [n_tiles] i32 scalar prefetch
     q_ref,               # [8, T] f32 (x, y, z, cid)
-    neighb_ref,          # [K, T] i32 original support indices (transposed:
+    neighb_ref,          # [K, T] i32 sorted-support POSITIONS (transposed:
                          #   per-k rows are lane vectors, no relayouts)
     kp_ref,              # [1, 3 * KP] f32 SMEM kernel point coords
     w_ref,               # [KP * C, Cout] f32 conv weights (flattened)
     scal_ref,            # [1, 1] f32 SMEM: extent
     s_hbm,               # [Ns_pad, 128] f32 packed coords
-    sidx_hbm,            # [Ns_pad, 128] i32 original indices in lane 0
     x_hbm,               # [Ns_pad, C] f32 sorted features
     out_ref,             # [T, Cout] f32
     band_ref,            # [BAND, 128] f32 scratch
-    bidx_ref,            # [BAND, 128] i32 scratch
     bx_ref,              # [BAND, C] f32 scratch
-    sem,                 # DMA semaphores (3,)
+    sem,                 # DMA semaphores (2,)
 ):
     T = q_ref.shape[1]
     K = neighb_ref.shape[0]
@@ -65,21 +63,22 @@ def _band_conv_kernel(
 
     cp1 = pltpu.make_async_copy(s_hbm.at[pl.ds(start, BAND), :], band_ref,
                                 sem.at[0])
-    cp2 = pltpu.make_async_copy(sidx_hbm.at[pl.ds(start, BAND), :], bidx_ref,
-                                sem.at[1])
     cp3 = pltpu.make_async_copy(x_hbm.at[pl.ds(start, BAND), :], bx_ref,
-                                sem.at[2])
-    cp1.start(); cp2.start(); cp3.start()
-    cp1.wait(); cp2.wait(); cp3.wait()
+                                sem.at[1])
+    cp1.start(); cp3.start()
+    cp1.wait(); cp3.wait()
 
     extent = scal_ref[0, 0]
 
-    # selected[n, q]: band point's original index appears in query's list
-    bidx = bidx_ref[:, 0:1]                      # [BAND, 1] i32
+    # selected[n, q]: band row's sorted-space POSITION appears in the
+    # query's list — the sorted-space pyramid contract makes this a pure
+    # iota compare (no index DMA)
+    bidx = (jax.lax.broadcasted_iota(jnp.int32, (BAND, 1), 0)
+            + start)                             # [BAND, 1] i32
     sel = jnp.zeros((BAND, T), jnp.float32)
     for k in range(K):
         sel = sel + (bidx == neighb_ref[k:k + 1, :]).astype(jnp.float32)
-    # each index appears at most once per list -> sel in {0, 1}
+    # each position appears at most once per list -> sel in {0, 1}
 
     # band feature-row activity for density normalization
     row_sum = jnp.sum(bx_ref[:], axis=1, keepdims=True)      # [BAND, 1]
@@ -91,24 +90,28 @@ def _band_conv_kernel(
     qx = q_ref[0:1, :]
     qy = q_ref[1:2, :]
     qz = q_ref[2:3, :]
-    bx = band_ref[:, 0:1]
-    by = band_ref[:, 1:2]
-    bz = band_ref[:, 2:3]
-
-    # relative coords [BAND, T] per axis
-    rx = bx - qx
-    ry = by - qy
-    rz = bz - qz
 
     C = bx_ref.shape[1]
     Cout = out_ref.shape[1]
+
+    # UNROLLED python loop over kernel points: a fori_loop here costs ~20%
+    # end-to-end serving throughput (30.6 -> 23.9 fragments/s measured) —
+    # Mosaic software-pipelines the unrolled straight-line code across MXU
+    # and VPU. The price is VMEM: several iterations' [BAND, T] panels stay
+    # live at once, so the pallas_call raises vmem_limit_bytes above the
+    # 16 MB default (v5e has 128 MB/core). SMEM scalar reads: width-1 VMEM
+    # lane slices are rejected by Mosaic. d2 accumulates one axis at a
+    # time, and rx/ry/rz are NOT hoisted — folding the query offset into
+    # the kernel-point offset ([1, T] lane add) makes the per-kp subtract
+    # free either way.
     acc = jnp.zeros((T, Cout), jnp.float32)
     for kp in range(KP):
-        # SMEM scalar reads: width-1 VMEM lane slices are rejected by Mosaic
-        dx = rx - kp_ref[0, 3 * kp + 0]
-        dy = ry - kp_ref[0, 3 * kp + 1]
-        dz = rz - kp_ref[0, 3 * kp + 2]
-        d2 = dx * dx + dy * dy + dz * dz
+        d = band_ref[:, 0:1] - (qx + kp_ref[0, 3 * kp + 0])
+        d2 = d * d
+        d = band_ref[:, 1:2] - (qy + kp_ref[0, 3 * kp + 1])
+        d2 = d2 + d * d
+        d = band_ref[:, 2:3] - (qz + kp_ref[0, 3 * kp + 2])
+        d2 = d2 + d * d
         w = jnp.maximum(1.0 - jnp.sqrt(d2) / extent, 0.0) * sel  # [BAND, T]
         weighted = jax.lax.dot_general(
             w, bx_ref[:],
@@ -123,161 +126,14 @@ def _band_conv_kernel(
     out_ref[:] = acc / denom[:, None]
 
 
-def _band_conv_bwd_q_kernel(
-    starts_ref,          # [n_tiles] i32 scalar prefetch
-    q_ref,               # [8, T] f32
-    neighb_ref,          # [K, T] i32
-    kp_ref,              # [1, 3 * KP] f32 SMEM
-    w_ref,               # [KP * C, Coutp] f32 VMEM
-    scal_ref,            # [1, 1] f32 SMEM: extent
-    g_ref,               # [T, Coutp] f32 cotangent block (sorted-query order)
-    s_hbm, sidx_hbm, x_hbm,
-    dw_ref,              # [KP * C, Coutp] f32 OUT — accumulated over tiles
-    gs_ref,              # [T, Coutp] f32 OUT — g / denom per query
-    band_ref, bidx_ref, bx_ref, sem,
-):
-    """dW = sum_q weighted_kp(q)^T (g/denom)(q), recomputing the forward's
-    influence/selection panels tile by tile (cheaper than saving [KP, Q, C]
-    residuals to HBM). Density denom is a neighbor COUNT — constant under
-    differentiation, exactly like the reference (torch.gt-derived,
-    models/blocks.py:377-380)."""
-    T = q_ref.shape[1]
-    K = neighb_ref.shape[0]
-    BAND = band_ref.shape[0]
-    KP = kp_ref.shape[1] // 3
-    i = pl.program_id(0)
-    start = starts_ref[i]
-
-    cp1 = pltpu.make_async_copy(s_hbm.at[pl.ds(start, BAND), :], band_ref,
-                                sem.at[0])
-    cp2 = pltpu.make_async_copy(sidx_hbm.at[pl.ds(start, BAND), :], bidx_ref,
-                                sem.at[1])
-    cp3 = pltpu.make_async_copy(x_hbm.at[pl.ds(start, BAND), :], bx_ref,
-                                sem.at[2])
-    cp1.start(); cp2.start(); cp3.start()
-
-    @pl.when(i == 0)
-    def _():
-        dw_ref[:] = jnp.zeros_like(dw_ref)
-
-    cp1.wait(); cp2.wait(); cp3.wait()
-    extent = scal_ref[0, 0]
-
-    bidx = bidx_ref[:, 0:1]
-    sel = jnp.zeros((BAND, T), jnp.float32)
-    for k in range(K):
-        sel = sel + (bidx == neighb_ref[k:k + 1, :]).astype(jnp.float32)
-
-    row_sum = jnp.sum(bx_ref[:], axis=1, keepdims=True)
-    active = (row_sum > 0.0).astype(jnp.float32)
-    denom = jnp.maximum(jnp.sum(sel * active, axis=0), 1.0)   # [T]
-
-    gs = g_ref[:] / denom[:, None]                            # [T, Coutp]
-    gs_ref[:] = gs
-
-    qx = q_ref[0:1, :]
-    qy = q_ref[1:2, :]
-    qz = q_ref[2:3, :]
-    rx = band_ref[:, 0:1] - qx
-    ry = band_ref[:, 1:2] - qy
-    rz = band_ref[:, 2:3] - qz
-
-    C = bx_ref.shape[1]
-    for kp in range(KP):
-        dx_ = rx - kp_ref[0, 3 * kp + 0]
-        dy_ = ry - kp_ref[0, 3 * kp + 1]
-        dz_ = rz - kp_ref[0, 3 * kp + 2]
-        d2 = dx_ * dx_ + dy_ * dy_ + dz_ * dz_
-        w = jnp.maximum(1.0 - jnp.sqrt(d2) / extent, 0.0) * sel  # [BAND, T]
-        weighted = jax.lax.dot_general(
-            w, bx_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, C]
-        dwkp = jax.lax.dot_general(
-            weighted, gs, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [C, Coutp]
-        dw_ref[pl.ds(kp * C, C), :] = dw_ref[pl.ds(kp * C, C), :] + dwkp
-
-
-def _band_conv_bwd_s_kernel(
-    k_count,             # python int: true neighbor-list width (partial-bound)
-    starts_ref,          # [n_s_tiles] i32: QUERY band start per support tile
-    s_ref,               # [8, T] f32 support tile coords (x, y, z)
-    sidx_ref,            # [8, T] i32 row 0 = original support index
-    kp_ref,              # [1, 3 * KP] f32 SMEM
-    w_ref,               # [KP * C, Coutp] f32 VMEM
-    scal_ref,            # [1, 1] f32 SMEM: extent
-    q_rows_hbm,          # [Hq, 128] f32 query coords, row layout
-    nb_rows_hbm,         # [Hq, 128] i32 query neighbor lists (lanes 0..K-1)
-    gs_hbm,              # [Hq, Coutp] f32 g / denom, sorted-query order
-    dx_ref,              # [T, C] f32 OUT
-    qband_ref, nband_ref, gband_ref, sem,
-):
-    """dx[s] = sum_kp sum_q influence_kp(q, s) * sel(q, s) * dweighted_kp(q)
-    with dweighted_kp(q) = (g/denom)(q) @ W_kp^T. Tiles ride the SUPPORT
-    axis and the contributing queries are DMA'd as a contiguous band of the
-    key-sorted query arrays — banding is symmetric (|key(q) - key(s)| <= r
-    for any selected pair), so the transpose needs no scatter."""
-    T = s_ref.shape[1]
-    BQ = qband_ref.shape[0]
-    KP = kp_ref.shape[1] // 3
-    K_LANES = nband_ref.shape[1]
-    i = pl.program_id(0)
-    start = starts_ref[i]
-
-    cp1 = pltpu.make_async_copy(q_rows_hbm.at[pl.ds(start, BQ), :],
-                                qband_ref, sem.at[0])
-    cp2 = pltpu.make_async_copy(nb_rows_hbm.at[pl.ds(start, BQ), :],
-                                nband_ref, sem.at[1])
-    cp3 = pltpu.make_async_copy(gs_hbm.at[pl.ds(start, BQ), :],
-                                gband_ref, sem.at[2])
-    cp1.start(); cp2.start(); cp3.start()
-    cp1.wait(); cp2.wait(); cp3.wait()
-
-    extent = scal_ref[0, 0]
-    sidx_row = sidx_ref[0:1, :]                               # [1, T] i32
-
-    sel = jnp.zeros((BQ, T), jnp.float32)
-    for k in range(min(K_LANES, k_count)):
-        sel = sel + (nband_ref[:, k:k + 1] == sidx_row).astype(jnp.float32)
-
-    sx = s_ref[0:1, :]
-    sy = s_ref[1:2, :]
-    sz = s_ref[2:3, :]
-    rx = sx - qband_ref[:, 0:1]                               # [BQ, T]
-    ry = sy - qband_ref[:, 1:2]
-    rz = sz - qband_ref[:, 2:3]
-
-    C = dx_ref.shape[1]
-    acc = jnp.zeros((T, C), jnp.float32)
-    for kp in range(KP):
-        dx_ = rx - kp_ref[0, 3 * kp + 0]
-        dy_ = ry - kp_ref[0, 3 * kp + 1]
-        dz_ = rz - kp_ref[0, 3 * kp + 2]
-        d2 = dx_ * dx_ + dy_ * dy_ + dz_ * dz_
-        w = jnp.maximum(1.0 - jnp.sqrt(d2) / extent, 0.0) * sel  # [BQ, T]
-        dw_band = jax.lax.dot_general(
-            gband_ref[:], w_ref[pl.ds(kp * C, C), :],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, C]
-        acc = acc + jax.lax.dot_general(
-            w, dw_band, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, C]
-    dx_ref[:] = acc
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("band_cap", "query_tile", "interpret"),
 )
 def band_conv(
     q_packed: jax.Array,     # [8, Nq_pad]
-    neighb_sorted: jax.Array,  # [K, Nq_pad] i32 original indices (transposed)
+    neighb_sorted: jax.Array,  # [K, Nq_pad] i32 sorted positions (transposed)
     s_packed: jax.Array,     # [Ns_pad, 128] f32
-    sidx_packed: jax.Array,  # [Ns_pad, 128] i32 (lane 0 = original index)
     x_sorted: jax.Array,     # [Ns_pad, C] f32
     weights: jax.Array,      # [KP, C, Cout]
     kernel_points: jax.Array,  # [KP, 3]
@@ -317,21 +173,26 @@ def band_conv(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((query_tile, cout), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((band_cap, 128), jnp.float32),
-            pltpu.VMEM((band_cap, 128), jnp.int32),
             pltpu.VMEM((band_cap, c), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         _band_conv_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nq, cout), jnp.float32),
+        # the unrolled kp loop keeps several [band, tile] panels live: the
+        # default 16 MB scoped limit trips at wide (density-sized) bands —
+        # e.g. 26.5 MB at a 32k-row training L0 — while v5e has 128 MB of
+        # VMEM per core and the in/out blocks needing double-buffer space
+        # are tiny
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         starts.astype(jnp.int32),
@@ -341,7 +202,6 @@ def band_conv(
         weights.astype(jnp.float32).reshape(kp_count * c, cout),
         jnp.full((1, 1), extent, jnp.float32),
         s_packed.astype(jnp.float32),
-        sidx_packed.astype(jnp.int32),
         x_sorted.astype(jnp.float32),
     )
 
@@ -351,14 +211,132 @@ def band_conv(
 # ---------------------------------------------------------------------------
 
 
-def _bwd_q_call(q_packed, neighb_sorted, s_packed, sidx_packed, x_sorted,
-                weights_flat, kp_flat, starts, extent, g_pad,
-                *, band_cap, query_tile, interpret):
-    """(dW_flat [KP*C, Coutp], g_scaled [nq, Coutp])."""
+def _band_conv_bwd_kernel(
+    starts_ref,          # [n_tiles] i32 scalar prefetch
+    q_ref,               # [8, T] f32
+    neighb_ref,          # [K, T] i32 sorted-support positions
+    kp_ref,              # [1, 3 * KP] f32 SMEM
+    w_ref,               # [KP * C, Coutp] f32 VMEM
+    scal_ref,            # [1, 1] f32 SMEM: extent
+    g_ref,               # [T, Coutp] f32 cotangent block (sorted-query order)
+    s_hbm, x_hbm,
+    dx_io,               # [Ns_pad, C] f32 ANY — zero-initialized, aliased out
+    dw_ref,              # [KP * C, Coutp] f32 OUT — accumulated over tiles
+    gs_ref,              # [T, Coutp] f32 OUT — g / denom per query
+    dx_out,              # alias of dx_io (ANY)
+    band_ref, bx_ref, dxs_ref, sem,
+):
+    """One query-tiled pass computes ALL backward quantities:
+
+      dW_kp += weighted_kp(q)^T (g/denom)(q)           (revolving VMEM acc)
+      gs      = g / denom                               (emitted for debug)
+      dx[band] += w_kp @ ((g/denom) @ W_kp^T)           (HBM read-mod-write)
+
+    The dx accumulation rides the SAME query tiling and support band as the
+    forward — the grid is sequential, so read-modify-write DMA of the
+    band's dx rows is race-free, and a transposed (support-tiled) kernel —
+    whose per-k LANE slices of the neighbor rows blew the VMEM scope — is
+    unnecessary. Density denom is a COUNT: constant under differentiation,
+    exactly like the reference (torch.gt-derived, models/blocks.py:377-380).
+    """
+    T = q_ref.shape[1]
+    K = neighb_ref.shape[0]
+    BAND = band_ref.shape[0]
+    KP = kp_ref.shape[1] // 3
+    i = pl.program_id(0)
+    start = starts_ref[i]
+
+    cp1 = pltpu.make_async_copy(s_hbm.at[pl.ds(start, BAND), :], band_ref,
+                                sem.at[0])
+    cp2 = pltpu.make_async_copy(x_hbm.at[pl.ds(start, BAND), :], bx_ref,
+                                sem.at[1])
+    # read this band's current dx rows early (overlaps the compute below).
+    # NOTE: read through the OUTPUT ref — the zero-initialized input only
+    # seeds the buffer via aliasing (in interpret mode input and output
+    # copies are distinct; the output is seeded from the aliased input)
+    cp3 = pltpu.make_async_copy(dx_out.at[pl.ds(start, BAND), :], dxs_ref,
+                                sem.at[2])
+    cp1.start(); cp2.start(); cp3.start()
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    cp1.wait(); cp2.wait()
+    extent = scal_ref[0, 0]
+
+    bidx = (jax.lax.broadcasted_iota(jnp.int32, (BAND, 1), 0) + start)
+    sel = jnp.zeros((BAND, T), jnp.float32)
+    for k in range(K):
+        sel = sel + (bidx == neighb_ref[k:k + 1, :]).astype(jnp.float32)
+
+    row_sum = jnp.sum(bx_ref[:], axis=1, keepdims=True)
+    active = (row_sum > 0.0).astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(sel * active, axis=0), 1.0)   # [T]
+
+    gs = g_ref[:] / denom[:, None]                            # [T, Coutp]
+    gs_ref[:] = gs
+
+    qx = q_ref[0:1, :]
+    qy = q_ref[1:2, :]
+    qz = q_ref[2:3, :]
+
+    C = bx_ref.shape[1]
+
+    # dx accumulates IN dxs_ref (seeded by cp3 with the band's current HBM
+    # rows) — a separate fori carry would cost another [BAND, C] VMEM block
+    cp3.wait()
+
+    # fori_loop (not an unrolled python loop): Mosaic keeps every unrolled
+    # iteration's [BAND, T] temporaries live simultaneously, blowing the
+    # 16 MB VMEM scope; the loop caps the live set at one iteration.
+    # Relative coords are NOT hoisted: three persistent [BAND, T] panels
+    # (rx/ry/rz) alone exceed the scope at pool-band shapes — recompute
+    # each axis from the resident band_ref scratch instead.
+    def kp_body(kp, carry):
+        d = band_ref[:, 0:1] - (qx + kp_ref[0, 3 * kp + 0])
+        d2 = d * d
+        d = band_ref[:, 1:2] - (qy + kp_ref[0, 3 * kp + 1])
+        d2 = d2 + d * d
+        d = band_ref[:, 2:3] - (qz + kp_ref[0, 3 * kp + 2])
+        d2 = d2 + d * d
+        w = jnp.maximum(1.0 - jnp.sqrt(d2) / extent, 0.0) * sel  # [BAND, T]
+        weighted = jax.lax.dot_general(
+            w, bx_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, C]
+        dwkp = jax.lax.dot_general(
+            weighted, gs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C, Coutp]
+        dw_ref[pl.ds(kp * C, C), :] = dw_ref[pl.ds(kp * C, C), :] + dwkp
+        dwt = jax.lax.dot_general(
+            gs, w_ref[pl.ds(kp * C, C), :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, C] = (g/denom) @ W_kp^T
+        dxs_ref[:] = dxs_ref[:] + jax.lax.dot_general(
+            w, dwt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BAND, C]
+        return carry
+
+    jax.lax.fori_loop(0, KP, kp_body, jnp.int32(0))
+
+    wb = pltpu.make_async_copy(dxs_ref, dx_out.at[pl.ds(start, BAND), :],
+                               sem.at[2])
+    wb.start()
+    wb.wait()  # the next (sequential) tile may read overlapping rows
+
+
+def _bwd_call(q_packed, neighb_sorted, s_packed, x_sorted,
+              weights_flat, kp_flat, starts, extent, g_pad, dx_init,
+              *, band_cap, query_tile, interpret):
+    """(dW_flat [KP*C, Coutp], g_scaled [nq, Coutp], dx [Ns_pad, C])."""
     nq = q_packed.shape[1]
     n_tiles = nq // query_tile
     kpc, coutp = weights_flat.shape
     c = x_sorted.shape[1]
+    ns_pad = s_packed.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -384,88 +362,44 @@ def _bwd_q_call(q_packed, neighb_sorted, s_packed, sidx_packed, x_sorted,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((query_tile, coutp), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((band_cap, 128), jnp.float32),
-            pltpu.VMEM((band_cap, 128), jnp.int32),
+            pltpu.VMEM((band_cap, c), jnp.float32),
             pltpu.VMEM((band_cap, c), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
-        _band_conv_bwd_q_kernel,
+        _band_conv_bwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((kpc, coutp), jnp.float32),
             jax.ShapeDtypeStruct((nq, coutp), jnp.float32),
+            jax.ShapeDtypeStruct((ns_pad, c), jnp.float32),
         ],
+        # dx_init (input 9 incl. the scalar-prefetch arg) donates its buffer
+        # to the dx output (output 2): zero-initialized accumulation target
+        input_output_aliases={9: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         starts.astype(jnp.int32), q_packed, neighb_sorted.astype(jnp.int32),
         kp_flat, weights_flat, jnp.full((1, 1), extent, jnp.float32),
-        g_pad, s_packed, sidx_packed.astype(jnp.int32), x_sorted,
+        g_pad, s_packed, x_sorted, dx_init,
     )
 
 
-def _bwd_s_call(s_t, sidx_t, weights_flat, kp_flat, extent, q_rows, nb_rows,
-                gs_rows, starts_s, k_count,
-                *, bq_cap, query_tile, c, interpret):
-    """dx_sorted [Hs, C] for the support rows of s_t (tile layout [8, Hs])."""
-    hs = s_t.shape[1]
-    n_tiles = hs // query_tile
-    kpc, coutp = weights_flat.shape
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((8, query_tile), lambda i, s: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, query_tile), lambda i, s: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((query_tile, c), lambda i, s: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((bq_cap, 128), jnp.float32),
-            pltpu.VMEM((bq_cap, 128), jnp.int32),
-            pltpu.VMEM((bq_cap, coutp), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(_band_conv_bwd_s_kernel, k_count),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((hs, c), jnp.float32),
-        interpret=interpret,
-    )(
-        starts_s.astype(jnp.int32), s_t, sidx_t, kp_flat, weights_flat,
-        jnp.full((1, 1), extent, jnp.float32), q_rows, nb_rows, gs_rows,
-    )
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def band_conv_ad(band_cap, query_tile, bq_cap, interpret,
-                 q_packed, neighb_sorted, s_packed, sidx_packed, x_sorted,
-                 weights, kernel_points, starts, extent,
-                 q_rows, nb_rows, starts_s):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def band_conv_ad(band_cap, query_tile, interpret,
+                 q_packed, neighb_sorted, s_packed, x_sorted,
+                 weights, kernel_points, starts, extent):
     """Differentiable band KPConv. Forward == :func:`band_conv`; backward
-    runs two more band kernels (query-tiled for dW, support-tiled for dx —
-    banding is symmetric, so the transposed pass needs no scatter).
-
-    Extra residual-only inputs (dead on the primal path, DCE'd when not
-    differentiated):
-      q_rows   [n_q + bq_cap, 128] f32 — QUERY coords in key-sorted row
-               layout (= the query level's ``s_packed``);
-      nb_rows  [n_q + bq_cap, 128] i32 — query neighbor lists, row layout,
-               lanes >= K filled with -1;
-      starts_s [ceil(Hs / T)] i32 — query-band start row per SUPPORT tile.
+    is ONE more query-tiled band kernel producing dW (revolving VMEM
+    accumulator), g/denom, and dx (sequential read-modify-write of the
+    band's rows in HBM — no scatter, no transposed pass).
 
     Gradients flow to ``x_sorted`` and ``weights`` only; the density denom
     is a count (constant, as in the reference) and rigid kernel points are
@@ -473,29 +407,28 @@ def band_conv_ad(band_cap, query_tile, bq_cap, interpret,
     dropped by band overflow (flagged upstream) are absent from both.
     """
     return band_conv(
-        q_packed, neighb_sorted, s_packed, sidx_packed, x_sorted, weights,
+        q_packed, neighb_sorted, s_packed, x_sorted, weights,
         kernel_points, starts, extent,
         band_cap=band_cap, query_tile=query_tile, interpret=interpret,
     )
 
 
-def _band_conv_ad_fwd(band_cap, query_tile, bq_cap, interpret,
-                      q_packed, neighb_sorted, s_packed, sidx_packed,
-                      x_sorted, weights, kernel_points, starts, extent,
-                      q_rows, nb_rows, starts_s):
+def _band_conv_ad_fwd(band_cap, query_tile, interpret,
+                      q_packed, neighb_sorted, s_packed,
+                      x_sorted, weights, kernel_points, starts, extent):
     out = band_conv_ad(
-        band_cap, query_tile, bq_cap, interpret,
-        q_packed, neighb_sorted, s_packed, sidx_packed, x_sorted, weights,
-        kernel_points, starts, extent, q_rows, nb_rows, starts_s,
+        band_cap, query_tile, interpret,
+        q_packed, neighb_sorted, s_packed, x_sorted, weights,
+        kernel_points, starts, extent,
     )
-    res = (q_packed, neighb_sorted, s_packed, sidx_packed, x_sorted, weights,
-           kernel_points, starts, extent, q_rows, nb_rows, starts_s)
+    res = (q_packed, neighb_sorted, s_packed, x_sorted, weights,
+           kernel_points, starts, extent)
     return out, res
 
 
-def _band_conv_ad_bwd(band_cap, query_tile, bq_cap, interpret, res, g):
-    (q_packed, neighb_sorted, s_packed, sidx_packed, x_sorted, weights,
-     kernel_points, starts, extent, q_rows, nb_rows, starts_s) = res
+def _band_conv_ad_bwd(band_cap, query_tile, interpret, res, g):
+    (q_packed, neighb_sorted, s_packed, x_sorted, weights,
+     kernel_points, starts, extent) = res
     kp_count, c0, cout0 = weights.shape
     c = c0 + ((-c0) % 128)
     coutp = cout0 + ((-cout0) % 128)
@@ -507,42 +440,29 @@ def _band_conv_ad_bwd(band_cap, query_tile, bq_cap, interpret, res, g):
     x_p = jnp.pad(x_sorted.astype(jnp.float32), ((0, 0), (0, c - c0)))
     g_p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, coutp - cout0)))
     kp_flat = kernel_points.astype(jnp.float32).reshape(1, -1)
+    dx_init = jnp.zeros((s_packed.shape[0], c), jnp.float32)
 
-    dw_flat, gs = _bwd_q_call(
+    # the backward runs at HALF the forward's query tile: it keeps three
+    # [band, C] scratch buffers + the dW/W blocks resident on top of the
+    # forward's live set, and the forward tile's [band, tile] panels
+    # already fill most of the 16 MB VMEM scope. Each half-tile reuses its
+    # parent tile's band start — the parent window covers a subset of its
+    # queries by construction.
+    tb = max(128, query_tile // 2)  # 128 = Mosaic lane-divisibility floor
+    rep = query_tile // tb
+    starts_b = jnp.repeat(starts, rep) if rep > 1 else starts
+
+    dw_flat, _, dx_full = _bwd_call(
         q_packed.astype(jnp.float32), neighb_sorted,
-        s_packed.astype(jnp.float32), sidx_packed, x_p, w_flat, kp_flat,
-        starts, extent, g_p,
-        band_cap=band_cap, query_tile=query_tile, interpret=interpret,
+        s_packed.astype(jnp.float32), x_p, w_flat, kp_flat,
+        starts_b, extent, g_p, dx_init,
+        band_cap=band_cap, query_tile=tb, interpret=interpret,
     )
     dweights = dw_flat.reshape(kp_count, c, coutp)[:, :c0, :cout0]
     dweights = dweights.astype(weights.dtype)
+    dx = dx_full[:, :c0].astype(x_sorted.dtype)
 
-    # --- dx over support tiles ------------------------------------------
-    n_q = q_rows.shape[0] - bq_cap
-    gs_rows = jnp.concatenate(
-        [gs[:n_q], jnp.zeros((bq_cap, coutp), jnp.float32)]
-    )
-    hs0 = s_packed.shape[0]
-    hs = -(-hs0 // query_tile) * query_tile
-    s_t = jnp.zeros((8, hs), jnp.float32).at[0:3, :hs0].set(
-        s_packed[:, 0:3].astype(jnp.float32).T
-    )
-    if hs > hs0:  # tile padding: far coords, unmatchable index
-        s_t = s_t.at[0:3, hs0:].set(1.0e6)
-    sidx_t = jnp.full((8, hs), -1, jnp.int32).at[0, :hs0].set(
-        sidx_packed[:, 0].astype(jnp.int32)
-    )
-
-    dx_full = _bwd_s_call(
-        s_t, sidx_t, w_flat, kp_flat, extent,
-        q_rows.astype(jnp.float32), nb_rows, gs_rows, starts_s,
-        int(neighb_sorted.shape[0]),
-        bq_cap=bq_cap, query_tile=query_tile, c=c, interpret=interpret,
-    )
-    dx = dx_full[:hs0, :c0].astype(x_sorted.dtype)
-
-    return (None, None, None, None, dx, dweights, None, None, None,
-            None, None, None)
+    return (None, None, None, dx, dweights, None, None, None)
 
 
 band_conv_ad.defvjp(_band_conv_ad_fwd, _band_conv_ad_bwd)

@@ -171,6 +171,17 @@ def build_pyramid(
 
     want_pallas = spec.search == "pallas" and jax.default_backend() == "tpu"
     want_band = want_pallas or spec.force_band_export
+    # sorted-space output: whenever band state is exported, every per-level
+    # array (points, neighbor/pool/upsample lists) lives in the level's
+    # key-sorted row order and neighbor values are sorted-support POSITIONS.
+    # The sort is cloud-stable (key = cid * KOFF + proj), so the contiguous
+    # valid-rows-first layout, lengths, masks and shadow conventions are
+    # unchanged — but every sorted<->original translation gather (~ms each
+    # at 16k x 40) disappears from the hot path. Callers re-map only the
+    # input features, the correspondence rows and the final outputs via
+    # band[0]['order']/'inv'.
+    # (statically derivable by consumers: band dict non-empty <=> sorted)
+    sorted_space = want_band
     sorted_levels: Dict[int, SortedLevel] = {}
     if want_band:
         frame_axis, frame_origin = make_level_frame(
@@ -207,6 +218,14 @@ def build_pyramid(
             )
         return sorted_levels[l]
 
+    def to_sorted_space(idx_orig, lv_q, lv_s):
+        """Original-order/original-index lists -> sorted rows + positions."""
+        ext_inv = jnp.concatenate([
+            lv_s.inv.astype(jnp.int32),
+            jnp.full((1,), lv_s.n, jnp.int32),
+        ])
+        return ext_inv[jnp.minimum(idx_orig, lv_s.n)][lv_q.order]
+
     def search(q, s, ql, sl, r, k, q_level, s_level):
         nonlocal overflow
         ratio = -(-s.shape[0] // q.shape[0])  # >= 1 only for pool searches
@@ -215,17 +234,20 @@ def build_pyramid(
             # strided (pool) search: fewer queries than supports — shrink the
             # tile so its support band stays a bounded fraction of the level
             tile = max(128, (tile * q.shape[0]) // s.shape[0])
-        # banding only pays off (and only has safe margins) on large
-        # support sets; small levels fall back to the exact brute panel
-        if want_pallas and s.shape[0] > 4096:
-            qt = 128 if ratio > 1 else 256  # pool bands are wide: smaller
-            # tiles keep the [band, tile] panel inside the VMEM scope
+        # the fused select runs at EVERY level on TPU: the XLA brute
+        # fallback's top_k lowers to full sorts costing ~7 ms of fixed
+        # overhead per search (measured) — at small levels the band is
+        # simply (nearly) the whole level and stays exact
+        if want_pallas:
+            qt = 128 if ratio > 1 else min(256, s.shape[0])  # pool bands
+            # are wide: smaller tiles keep [band, tile] inside VMEM
             idx, ov = radius_neighbors_sorted(
                 sorted_level(q_level, q, ql), sorted_level(s_level, s, sl),
                 r, max_k=k, query_tile=qt,
                 band_cap=level_band_cap(s.shape[0], spec.num_clouds,
                                         spec.band_frac, tile=qt,
                                         ratio=ratio),
+                raw_positions=True,
             )
             overflow = overflow | ov
             return idx
@@ -244,18 +266,21 @@ def build_pyramid(
                 query_tile=tile, band_cap=band,
             )
             overflow = overflow | ov
-            return idx
-        if spec.search == "grid":
+        elif spec.search == "grid":
             idx, ov = radius_neighbors_grid(
                 q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
                 query_tile=tile, cell_capacity=spec.cell_capacity,
             )
             overflow = overflow | ov
-            return idx
-        return radius_neighbors(
-            q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
-            query_tile=tile,
-        )
+        else:
+            idx = radius_neighbors(
+                q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
+                query_tile=tile,
+            )
+        if sorted_space:  # CPU paths emit original order; convert
+            idx = to_sorted_space(idx, sorted_level(q_level, q, ql),
+                                  sorted_level(s_level, s, sl))
+        return idx
 
     def export_level(l, p, ln):
         # arrays the fused band-conv kernel needs (ops/pallas/band_conv);
@@ -263,21 +288,22 @@ def build_pyramid(
         if not want_band:
             return
         lvl = sorted_level(l, p, ln)
-        npad = lvl.n + lvl.band_pad
-        sidx_packed = jnp.zeros((npad, 128), jnp.int32)
-        sidx_packed = sidx_packed.at[:, 0].set(lvl.idx_sorted_pad)
         out["band"][l] = {
             "key_sorted": lvl.key_sorted,
             "order": lvl.order,
             "inv": lvl.inv,
             "q_packed": lvl.q_packed,
             "s_packed": lvl.s_packed,
-            "sidx_packed": sidx_packed,
         }
+
+    def emit_points(l, p, ln):
+        if sorted_space:
+            return sorted_level(l, p, ln).pts_sorted
+        return p
 
     for l in range(L):
         r = r0 * (2.0**l)
-        out["points"].append(pts)
+        out["points"].append(emit_points(l, pts, lens))
         out["lengths"].append(lens)
         out["masks"].append(lengths_to_mask(lens, pts.shape[0]))
         export_level(l, pts, lens)

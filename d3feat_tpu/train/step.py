@@ -69,9 +69,19 @@ def init_train_state(key, config, optimizer=None):
 def _forward_losses(params, model_state, batch, config, specs, pyramid_spec,
                     *, train: bool):
     """Pyramid + forward + losses. Returns (loss, (metrics_tuple, new_state))."""
+    from d3feat_tpu.ops.neighbors import permute_rows
+
     pyr = build_pyramid(batch["points"], batch["lengths"], spec=pyramid_spec)
     full = dict(pyr)
-    full["features"] = batch["features"]
+    sorted_space = bool(pyr.get("band"))  # band exported <=> sorted space
+    if sorted_space:
+        # the network runs entirely in the pyramid's key-sorted row order
+        # (no per-block reorders); only the inputs/correspondences remap
+        order0 = pyr["band"][0]["order"]
+        inv0 = pyr["band"][0]["inv"]
+        full["features"] = permute_rows(batch["features"], order0, inv0)
+    else:
+        full["features"] = batch["features"]
 
     compute_dtype = (
         jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
@@ -84,6 +94,9 @@ def _forward_losses(params, model_state, batch, config, specs, pyramid_spec,
     lengths0 = batch["lengths"]
     anc_idx = batch["corr"][:, 0]
     pos_idx = batch["corr"][:, 1] + lengths0[0]
+    if sorted_space:  # original stacked rows -> sorted rows
+        anc_idx = jnp.take(inv0, anc_idx)
+        pos_idx = jnp.take(inv0, pos_idx)
     valid = batch["corr_valid"]
     anc_f = jnp.take(out.features, anc_idx, axis=0)
     pos_f = jnp.take(out.features, pos_idx, axis=0)
@@ -224,13 +237,25 @@ def make_extract_step(config, specs=None, pyramid_spec=None,
     )
 
     def extract_step(params, model_state, batch):
+        from d3feat_tpu.ops.neighbors import permute_rows
+
         pyr = build_pyramid(batch["points"], batch["lengths"], spec=pyramid_spec)
         full = dict(pyr)
-        full["features"] = batch["features"]
+        sorted_space = bool(pyr.get("band"))  # band exported <=> sorted space
+        if sorted_space:
+            order0 = pyr["band"][0]["order"]
+            inv0 = pyr["band"][0]["inv"]
+            full["features"] = permute_rows(batch["features"], order0, inv0)
+        else:
+            full["features"] = batch["features"]
         out, _, _ = apply_kpfcnn(
             params, model_state, full, config, specs,
             train=False, compute_dtype=compute_dtype, per_cloud_norm=True,
         )
-        return out.features, out.scores, pyr["overflow"]
+        feats, scores = out.features, out.scores
+        if sorted_space:  # back to the caller's original row order
+            feats = permute_rows(feats, inv0, order0)
+            scores = permute_rows(scores, inv0, order0)
+        return feats, scores, pyr["overflow"]
 
     return extract_step

@@ -34,27 +34,29 @@ def test_band_conv_matches_kpconv():
     lvl = SortedLevel(pts_j, lens_j, 2, axis, origin, band_pad=512)
 
     T, BAND = 64, 512
+    # sorted-space contract: rows in sorted-query order, values = positions
     neighb, ov = radius_neighbors_sorted(
-        lvl, lvl, r, max_k=k, query_tile=T, band_cap=BAND, interpret=True)
+        lvl, lvl, r, max_k=k, query_tile=T, band_cap=BAND, interpret=True,
+        raw_positions=True)
     assert not bool(ov)
 
     kp = load_kernels(r, kpn, deterministic=True).astype(np.float32)
     params = init_kpconv(jax.random.key(0), kpn, cin, cout, kp)
     x = rng.normal(size=(cap, cin)).astype(np.float32)
     x[len(pts):] = 0.0
-    x_j = jnp.asarray(x)
+    x_sorted_n = jnp.asarray(x)[lvl.order]
     extent = r * 2.0 / 2.5
 
-    ref, _ = kpconv(pts_j, pts_j, jnp.asarray(neighb), x_j, params,
+    # the XLA KPConv is index-space agnostic: run it directly in sorted
+    # space on the same positions lists
+    ref, _ = kpconv(lvl.pts_sorted, lvl.pts_sorted, jnp.asarray(neighb),
+                    x_sorted_n, params,
                     KP_extent=extent, KP_influence="linear",
                     aggregation_mode="sum")
 
-    # kernel-side inputs in sorted order
     x_sorted = jnp.concatenate([
-        x_j[lvl.order], jnp.zeros((lvl.band_pad, cin), jnp.float32)])
-    sidx_packed = jnp.zeros((cap + lvl.band_pad, 128), jnp.int32)
-    sidx_packed = sidx_packed.at[:, 0].set(lvl.idx_sorted_pad)
-    neighb_sorted = jnp.asarray(neighb)[lvl.order].T  # [K, Nq]
+        x_sorted_n, jnp.zeros((lvl.band_pad, cin), jnp.float32)])
+    neighb_sorted = jnp.asarray(neighb).T  # [K, Nq]
 
     # per-tile starts: same computation the sorted search uses
     qk = lvl.key_sorted.reshape(-1, T)
@@ -65,14 +67,15 @@ def test_band_conv_matches_kpconv():
     starts = jnp.minimum(starts, cap)
 
     out_sorted = band_conv(
-        lvl.q_packed, neighb_sorted, lvl.s_packed, sidx_packed, x_sorted,
+        lvl.q_packed, neighb_sorted, lvl.s_packed, x_sorted,
         params.weights, params.kernel_points, starts, jnp.float32(extent),
         band_cap=BAND, query_tile=T, interpret=True,
     )
     out = out_sorted[lvl.inv]
+    ref = jnp.asarray(ref)[lvl.inv]
 
     np.testing.assert_allclose(
-        np.asarray(out)[: len(pts)], np.asarray(ref)[: len(pts)],
+        np.asarray(out)[: len(pts) + 0], np.asarray(ref)[: len(pts) + 0],
         atol=3e-5, rtol=1e-4,
     )
 
@@ -106,12 +109,15 @@ def test_kpfcnn_forward_with_band_conv_matches_xla():
     spec_band = dataclasses.replace(spec, force_band_export=True)
     pyr = dict(build_pyramid(jnp.asarray(packed.points),
                              jnp.asarray(packed.lengths), spec=spec_band))
-    pyr["features"] = jnp.asarray(packed.features)
     assert pyr["band"], "band state missing"
+    # band export => sorted-space pyramid: inputs remap through order0
+    pyr["features"] = jnp.asarray(packed.features)[pyr["band"][0]["order"]]
 
     params, state, specs = init_kpfcnn(jax.random.key(0), cfg)
     out_band, _, _ = apply_kpfcnn(params, state, pyr, cfg, specs, train=False)
 
+    # the XLA gather path consumes the SAME sorted-space structure (it is
+    # index-space agnostic), so outputs compare row-for-row
     pyr_plain = dict(pyr)
     pyr_plain["band"] = {}
     out_xla, _, _ = apply_kpfcnn(params, state, pyr_plain, cfg, specs,

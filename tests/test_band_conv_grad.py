@@ -42,31 +42,31 @@ def test_band_conv_ad_grads_match_xla_kpconv():
     lvl = SortedLevel(pts_j, lens_j, 2, axis, origin, band_pad=512)
 
     T, BAND = 64, 512
+    # sorted-space contract: rows in sorted-query order, values = positions
     neighb, ov = radius_neighbors_sorted(
-        lvl, lvl, r, max_k=k, query_tile=T, band_cap=BAND, interpret=True)
+        lvl, lvl, r, max_k=k, query_tile=T, band_cap=BAND, interpret=True,
+        raw_positions=True)
     assert not bool(ov)
 
     kp = load_kernels(r, kpn, deterministic=True).astype(np.float32)
     params = init_kpconv(jax.random.key(0), kpn, cin, cout, kp)
     x = rng.normal(size=(cap, cin)).astype(np.float32)
     x[len(pts):] = 0.0
-    x_j = jnp.asarray(x)
+    # both implementations run in sorted space on identical inputs
+    x_j = jnp.asarray(x)[lvl.order]
     extent = r * 2.0 / 2.5
     # random cotangent against both implementations
     cot = jnp.asarray(rng.normal(size=(cap, cout)).astype(np.float32))
 
     def loss_xla(x_in, w_in):
         p = params._replace(weights=w_in)
-        out, _ = kpconv(pts_j, pts_j, jnp.asarray(neighb), x_in, p,
+        out, _ = kpconv(lvl.pts_sorted, lvl.pts_sorted, jnp.asarray(neighb),
+                        x_in, p,
                         KP_extent=extent, KP_influence="linear",
                         aggregation_mode="sum")
         return jnp.sum(out * cot)
 
-    # band-side static inputs
-    x_order = lvl.order
-    sidx_packed = jnp.zeros((cap + lvl.band_pad, 128), jnp.int32)
-    sidx_packed = sidx_packed.at[:, 0].set(lvl.idx_sorted_pad)
-    neighb_sorted = jnp.asarray(neighb)[lvl.order].T
+    neighb_sorted = jnp.asarray(neighb).T
 
     qk = lvl.key_sorted.reshape(-1, T)
     valid = qk < 2 * SortedLevel.KOFF
@@ -75,31 +75,16 @@ def test_band_conv_ad_grads_match_xla_kpconv():
         lvl.key_sorted, kmin - (r + SortedLevel.EPS)).astype(jnp.int32)
     starts = jnp.minimum(starts, cap)
 
-    # bwd residuals: query rows == support rows here (conv search)
-    nb_rows = jnp.full((cap + lvl.band_pad, 128), -1, jnp.int32)
-    nb_rows = nb_rows.at[:cap, :k].set(jnp.asarray(neighb)[lvl.order])
-    hs0 = cap + lvl.band_pad
-    hs = -(-hs0 // T) * T
-    s_keys = jnp.concatenate([
-        lvl.key_sorted, jnp.full((hs - cap,), 3.0e37, jnp.float32)])
-    s_kmin = jnp.min(s_keys.reshape(-1, T), axis=1)
-    starts_s = jnp.minimum(
-        jnp.searchsorted(
-            lvl.key_sorted, s_kmin - (r + SortedLevel.EPS)
-        ).astype(jnp.int32),
-        cap,
-    )
-
     def loss_band(x_in, w_in):
         x_sorted = jnp.concatenate([
-            x_in[x_order], jnp.zeros((lvl.band_pad, cin), jnp.float32)])
+            x_in, jnp.zeros((lvl.band_pad, cin), jnp.float32)])
         out_sorted = band_conv_ad(
-            BAND, T, lvl.band_pad, True,
-            lvl.q_packed, neighb_sorted, lvl.s_packed, sidx_packed,
+            BAND, T, True,
+            lvl.q_packed, neighb_sorted, lvl.s_packed,
             x_sorted, w_in, params.kernel_points, starts,
-            jnp.float32(extent), lvl.s_packed, nb_rows, starts_s,
+            jnp.float32(extent),
         )
-        return jnp.sum(out_sorted[:cap][lvl.inv] * cot)
+        return jnp.sum(out_sorted[:cap] * cot)
 
     v_ref, (gx_ref, gw_ref) = jax.value_and_grad(loss_xla, argnums=(0, 1))(
         x_j, params.weights)
@@ -144,8 +129,9 @@ def test_kpfcnn_train_grads_band_vs_xla():
     spec_band = dataclasses.replace(spec, force_band_export=True)
     pyr = dict(build_pyramid(jnp.asarray(packed.points),
                              jnp.asarray(packed.lengths), spec=spec_band))
-    pyr["features"] = jnp.asarray(packed.features)
     assert pyr["band"], "band state missing"
+    # band export => sorted-space pyramid: inputs remap through order0
+    pyr["features"] = jnp.asarray(packed.features)[pyr["band"][0]["order"]]
     pyr_plain = dict(pyr)
     pyr_plain["band"] = {}
 

@@ -19,10 +19,10 @@ axis, origin = make_level_frame(pts_j, lens_j, 2)
 BANDP = 1792
 lvl = SortedLevel(pts_j, lens_j, 2, axis, origin, band_pad=BANDP)
 r, K = 0.075, 40
-neighb, ov = radius_neighbors_sorted(lvl, lvl, r, max_k=K, query_tile=128, band_cap=BANDP)
+neighb, ov = radius_neighbors_sorted(lvl, lvl, r, max_k=K, query_tile=128, band_cap=BANDP,
+                                     raw_positions=True)
 print("search ok, overflow:", bool(ov), flush=True)
-sidx_packed = jnp.zeros((cap + BANDP, 128), jnp.int32).at[:, 0].set(lvl.idx_sorted_pad)
-neighb_sorted = jnp.asarray(neighb)[lvl.order].T
+neighb_sorted = jnp.asarray(neighb).T  # sorted-space: rows sorted, values=positions
 qk = lvl.key_sorted.reshape(-1, 128)
 valid = qk < 2 * SortedLevel.KOFF
 kmin = jnp.min(jnp.where(valid, qk, jnp.float32(3e37)), axis=1)
@@ -39,26 +39,28 @@ for cin, cout in ((1, 64), (32, 32), (64, 64)):
     t0 = time.perf_counter()
     try:
         out_sorted = band_conv(lvl.q_packed, neighb_sorted, lvl.s_packed,
-                               sidx_packed, x_sorted, params.weights,
+                               x_sorted, params.weights,
                                params.kernel_points, starts, jnp.float32(extent),
                                band_cap=BANDP, query_tile=128)
         jax.block_until_ready(out_sorted)
         c = time.perf_counter() - t0
-        ref, _ = kpconv(pts_j, pts_j, jnp.asarray(neighb), x_j, params,
+        ref, _ = kpconv(lvl.pts_sorted, lvl.pts_sorted, jnp.asarray(neighb),
+                        x_sorted[:cap], params,
                         KP_extent=extent, KP_influence="linear", aggregation_mode="sum")
         out = np.asarray(out_sorted[lvl.inv])[:N]
-        err = np.abs(out - np.asarray(ref)[:N]).max()
+        err = np.abs(out - np.asarray(ref[lvl.inv])[:N]).max()
         t0 = time.perf_counter()
         for _ in range(20):
             out_sorted = band_conv(lvl.q_packed, neighb_sorted, lvl.s_packed,
-                                   sidx_packed, x_sorted, params.weights,
+                                   x_sorted, params.weights,
                                    params.kernel_points, starts, jnp.float32(extent),
                                    band_cap=BANDP, query_tile=128)
         jax.block_until_ready(out_sorted)
         # XLA reference timing
         t1 = time.perf_counter()
         for _ in range(20):
-            ref, _ = kpconv(pts_j, pts_j, jnp.asarray(neighb), x_j, params,
+            ref, _ = kpconv(lvl.pts_sorted, lvl.pts_sorted, jnp.asarray(neighb),
+                            x_sorted[:cap], params,
                             KP_extent=extent, KP_influence="linear", aggregation_mode="sum")
         jax.block_until_ready(ref)
         t2 = time.perf_counter()

@@ -1,12 +1,16 @@
 """Full training step on the real TPU: correctness + pairs/s."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from d3feat_tpu.config import D3FeatConfig, PyramidCaps
 from d3feat_tpu.data.pack import pack_pair
-from d3feat_tpu.data.synthetic import synthetic_pair
+from d3feat_tpu.data.synthetic import scan_pair
 from d3feat_tpu.train.step import init_train_state, make_train_step
 
 cfg = D3FeatConfig()
@@ -17,10 +21,11 @@ cfg.query_tile = 512
 rng = np.random.default_rng(0)
 batches = []
 for i in range(6):
-    pts0, pts1, corr, dk = synthetic_pair(rng, n_points=14000, num_corr=128,
-                                          extent=3.0)
-    p = pack_pair(pts0, pts1, np.ones((14000,1),np.float32),
-                  np.ones((14000,1),np.float32), corr, dk,
+    pts0, pts1, corr, dk = scan_pair(rng, num_corr=128)
+    while not (9000 < len(pts0) < 15500 and 9000 < len(pts1) < 15500):
+        pts0, pts1, corr, dk = scan_pair(rng, num_corr=128)
+    p = pack_pair(pts0, pts1, np.ones((len(pts0),1),np.float32),
+                  np.ones((len(pts1),1),np.float32), corr, dk,
                   point_capacity=32768, corr_capacity=128)
     batches.append({k: jnp.asarray(v) for k, v in {
         "points": p.points, "features": p.features, "lengths": p.lengths,
