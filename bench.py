@@ -57,10 +57,13 @@ def main():
     # per-chip throughput — quantifies the DP wrapper overhead that the
     # v5e-8 multi-chip projection rides on.
     dp_mode = "--dp" in sys.argv
+    bf16_mode = "--bf16" in sys.argv
 
     B = FRAGS_PER_CALL
     NC = max(2, B)  # cloud slots; band margins scale with 1/num_clouds
     cfg = D3FeatConfig()
+    if bf16_mode:
+        cfg.compute_dtype = "bfloat16"
     cfg.caps = PyramidCaps(
         points=(16384 * B, 8192 * B, 2048 * B, 768 * B, 256 * B),
         neighbors=(40, 40, 40, 40, 40),

@@ -287,7 +287,8 @@ def apply_block(params, state, spec: BlockSpec, x, batch, config, *,
 
     if kind == "simple":
         if band_conv_eligible(spec, batch, config, train):
-            y, aux = apply_band_kpconv(params["conv"], spec, x, batch, config), None
+            y, aux = apply_band_kpconv(params["conv"], spec, x, batch, config,
+                                       compute_dtype=compute_dtype), None
         else:
             y, aux = kpconv(q_pts, s_pts, inds, x, params["conv"], **conv_kw)
         y, norm_s = apply_norm(params["norm"], state["norm"], y, out_mask,
@@ -307,7 +308,8 @@ def apply_block(params, state, spec: BlockSpec, x, batch, config, *,
         else:
             h = x
         if band_conv_eligible(spec, batch, config, train):
-            h, aux = apply_band_kpconv(params["conv"], spec, h, batch, config), None
+            h, aux = apply_band_kpconv(params["conv"], spec, h, batch, config,
+                                       compute_dtype=compute_dtype), None
         else:
             h, aux = kpconv(q_pts, s_pts, inds, h, params["conv"], **conv_kw)
         h, new_state["norm_conv"] = apply_norm(
@@ -377,7 +379,8 @@ def band_conv_eligible(spec: BlockSpec, batch, config, train: bool) -> bool:
     return spec.layer in band and q_level in band
 
 
-def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config):
+def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config,
+                      compute_dtype=jnp.float32):
     """KPConv via the fused band kernel (ops/pallas/band_conv): neighbor
     gathers become dense [tile, band] MXU matmuls over the sorted support
     band. Exactly the reference math incl. the calibrated neighbor-cap
@@ -443,6 +446,7 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config):
 
     out_sorted = band_conv_ad(
         band_cap, T, jax.default_backend() != "tpu",
+        "bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
         q_packed, neighb_sorted, sb["s_packed"], x_sorted,
         conv_params.weights,
         jax.lax.stop_gradient(conv_params.kernel_points),

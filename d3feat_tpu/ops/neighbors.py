@@ -555,8 +555,12 @@ def radius_neighbors_sorted(
         s_level.key_sorted, kmin - margin, method="sort").astype(jnp.int32)
     ends = jnp.searchsorted(
         s_level.key_sorted, kmax + margin, method="sort").astype(jnp.int32)
+    # 8-row floor: bf16 HBM arrays are (8,128)-tiled and the band-conv DMA
+    # start must be provably 8-divisible; band_conv floors identically so
+    # the select and conv windows coincide (flooring only widens downward).
+    # Level capacities are multiples of 8, so min(.) preserves alignment.
+    starts = jnp.minimum((starts // 8) * 8, ns)
     overflow = jnp.any((ends - starts) > band_cap)
-    starts = jnp.minimum(starts, ns)
 
     pos = band_select(
         q_packed, s_level.s_packed, starts, r * r,

@@ -48,18 +48,23 @@ def _band_conv_kernel(
     w_ref,               # [KP * C, Cout] f32 conv weights (flattened)
     scal_ref,            # [1, 1] f32 SMEM: extent
     s_hbm,               # [Ns_pad, 128] f32 packed coords
-    x_hbm,               # [Ns_pad, C] f32 sorted features
+    x_hbm,               # [Ns_pad, C] panel-dtype sorted features
     out_ref,             # [T, Cout] f32
     band_ref,            # [BAND, 128] f32 scratch
-    bx_ref,              # [BAND, C] f32 scratch
+    bx_ref,              # [BAND, C] panel-dtype scratch
     sem,                 # DMA semaphores (2,)
 ):
+    # panel dtype (f32 or bf16) is carried by the feature/weight operands;
+    # geometry, selection, density and accumulation always stay f32
+    pd = bx_ref.dtype
     T = q_ref.shape[1]
     K = neighb_ref.shape[0]
     BAND = band_ref.shape[0]
     KP = kp_ref.shape[1] // 3
     i = pl.program_id(0)
-    start = starts_ref[i]
+    # callers floor starts to multiples of 8 (bf16 HBM tiling demands a
+    # provably aligned DMA start; the hint carries the proof to Mosaic)
+    start = pl.multiple_of(starts_ref[i], 8)
 
     cp1 = pltpu.make_async_copy(s_hbm.at[pl.ds(start, BAND), :], band_ref,
                                 sem.at[0])
@@ -81,7 +86,8 @@ def _band_conv_kernel(
     # each position appears at most once per list -> sel in {0, 1}
 
     # band feature-row activity for density normalization
-    row_sum = jnp.sum(bx_ref[:], axis=1, keepdims=True)      # [BAND, 1]
+    row_sum = jnp.sum(bx_ref[:], axis=1, keepdims=True,
+                      dtype=jnp.float32)                     # [BAND, 1]
     # reference counts rows with POSITIVE sums (blocks.py:377-380)
     active = (row_sum > 0.0).astype(jnp.float32)             # [BAND, 1]
     denom = jnp.sum(sel * active, axis=0)                    # [T]
@@ -114,12 +120,12 @@ def _band_conv_kernel(
         d2 = d2 + d * d
         w = jnp.maximum(1.0 - jnp.sqrt(d2) / extent, 0.0) * sel  # [BAND, T]
         weighted = jax.lax.dot_general(
-            w, bx_ref[:],
+            w.astype(pd), bx_ref[:],
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [T, C]
+        )  # [T, C] f32
         acc = acc + jax.lax.dot_general(
-            weighted, w_ref[pl.ds(kp * C, C), :],
+            weighted.astype(pd), w_ref[pl.ds(kp * C, C), :],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -128,7 +134,7 @@ def _band_conv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("band_cap", "query_tile", "interpret"),
+    static_argnames=("band_cap", "query_tile", "interpret", "panel_dtype"),
 )
 def band_conv(
     q_packed: jax.Array,     # [8, Nq_pad]
@@ -143,9 +149,19 @@ def band_conv(
     band_cap: int,
     query_tile: int,
     interpret: bool = False,
+    panel_dtype: str = "float32",
 ) -> jax.Array:
     """[Nq_pad, Cout] KPConv outputs for sorted-order queries (linear
-    influence, sum aggregation)."""
+    influence, sum aggregation).
+
+    ``panel_dtype='bfloat16'`` runs the MXU panel contractions (influence x
+    features, weighted x weights) on bf16 operands with f32 accumulation —
+    ~4x MXU rate on v5e and half the band feature DMA. Geometry, selection,
+    density counts and accumulators stay f32."""
+    pd = jnp.bfloat16 if panel_dtype == "bfloat16" else jnp.float32
+    # 8-row alignment for the dynamic band DMA (bf16 HBM tiling); matches
+    # the select search's flooring so the windows coincide
+    starts = (starts.astype(jnp.int32) // 8) * 8
     nq = q_packed.shape[1]
     n_tiles = nq // query_tile
     assert n_tiles * query_tile == nq
@@ -171,14 +187,18 @@ def band_conv(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # explicit HBM (not ANY): small levels' bf16 feature arrays fit
+            # in VMEM, and Mosaic's ANY->VMEM promotion turns the band DMA
+            # into a memref_slice whose dynamic start it cannot prove
+            # 8-divisible (compile error)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec((query_tile, cout), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((band_cap, 128), jnp.float32),
-            pltpu.VMEM((band_cap, c), jnp.float32),
+            pltpu.VMEM((band_cap, c), pd),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -199,10 +219,10 @@ def band_conv(
         q_packed.astype(jnp.float32),
         neighb_sorted.astype(jnp.int32),
         kp_flat,
-        weights.astype(jnp.float32).reshape(kp_count * c, cout),
+        weights.astype(pd).reshape(kp_count * c, cout),
         jnp.full((1, 1), extent, jnp.float32),
         s_packed.astype(jnp.float32),
-        x_sorted.astype(jnp.float32),
+        x_sorted.astype(pd),
     )
 
 
@@ -219,7 +239,7 @@ def _band_conv_bwd_kernel(
     w_ref,               # [KP * C, Coutp] f32 VMEM
     scal_ref,            # [1, 1] f32 SMEM: extent
     g_ref,               # [T, Coutp] f32 cotangent block (sorted-query order)
-    s_hbm, x_hbm,
+    s_hbm, x_hbm,        # coords f32; features in panel dtype
     dx_io,               # [Ns_pad, C] f32 ANY — zero-initialized, aliased out
     dw_ref,              # [KP * C, Coutp] f32 OUT — accumulated over tiles
     gs_ref,              # [T, Coutp] f32 OUT — g / denom per query
@@ -243,8 +263,9 @@ def _band_conv_bwd_kernel(
     K = neighb_ref.shape[0]
     BAND = band_ref.shape[0]
     KP = kp_ref.shape[1] // 3
+    pd = bx_ref.dtype    # panel dtype: f32 or bf16 MXU operands
     i = pl.program_id(0)
-    start = starts_ref[i]
+    start = pl.multiple_of(starts_ref[i], 8)  # see forward's note
 
     cp1 = pltpu.make_async_copy(s_hbm.at[pl.ds(start, BAND), :], band_ref,
                                 sem.at[0])
@@ -270,12 +291,14 @@ def _band_conv_bwd_kernel(
     for k in range(K):
         sel = sel + (bidx == neighb_ref[k:k + 1, :]).astype(jnp.float32)
 
-    row_sum = jnp.sum(bx_ref[:], axis=1, keepdims=True)
+    row_sum = jnp.sum(bx_ref[:], axis=1, keepdims=True,
+                      dtype=jnp.float32)
     active = (row_sum > 0.0).astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(sel * active, axis=0), 1.0)   # [T]
 
     gs = g_ref[:] / denom[:, None]                            # [T, Coutp]
     gs_ref[:] = gs
+    gsb = gs.astype(pd)
 
     qx = q_ref[0:1, :]
     qy = q_ref[1:2, :]
@@ -300,22 +323,23 @@ def _band_conv_bwd_kernel(
         d2 = d2 + d * d
         d = band_ref[:, 2:3] - (qz + kp_ref[0, 3 * kp + 2])
         d2 = d2 + d * d
-        w = jnp.maximum(1.0 - jnp.sqrt(d2) / extent, 0.0) * sel  # [BAND, T]
+        wb = (jnp.maximum(1.0 - jnp.sqrt(d2) / extent, 0.0)
+              * sel).astype(pd)                               # [BAND, T]
         weighted = jax.lax.dot_general(
-            w, bx_ref[:], (((0,), (0,)), ((), ())),
+            wb, bx_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [T, C]
+        )  # [T, C] f32
         dwkp = jax.lax.dot_general(
-            weighted, gs, (((0,), (0,)), ((), ())),
+            weighted.astype(pd), gsb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [C, Coutp]
         dw_ref[pl.ds(kp * C, C), :] = dw_ref[pl.ds(kp * C, C), :] + dwkp
         dwt = jax.lax.dot_general(
-            gs, w_ref[pl.ds(kp * C, C), :], (((1,), (1,)), ((), ())),
+            gsb, w_ref[pl.ds(kp * C, C), :], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [T, C] = (g/denom) @ W_kp^T
         dxs_ref[:] = dxs_ref[:] + jax.lax.dot_general(
-            w, dwt, (((1,), (0,)), ((), ())),
+            wb, dwt.astype(pd), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [BAND, C]
         return carry
@@ -331,11 +355,15 @@ def _band_conv_bwd_kernel(
 def _bwd_call(q_packed, neighb_sorted, s_packed, x_sorted,
               weights_flat, kp_flat, starts, extent, g_pad, dx_init,
               *, band_cap, query_tile, interpret):
-    """(dW_flat [KP*C, Coutp], g_scaled [nq, Coutp], dx [Ns_pad, C])."""
+    """(dW_flat [KP*C, Coutp], g_scaled [nq, Coutp], dx [Ns_pad, C]).
+
+    x_sorted / weights_flat arrive in the panel dtype (f32 or bf16); all
+    outputs are f32."""
     nq = q_packed.shape[1]
     n_tiles = nq // query_tile
     kpc, coutp = weights_flat.shape
     c = x_sorted.shape[1]
+    pd = x_sorted.dtype
     ns_pad = s_packed.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -351,9 +379,11 @@ def _bwd_call(q_packed, neighb_sorted, s_packed, x_sorted,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((query_tile, coutp), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # explicit HBM (not ANY): see the forward's note — ANY->VMEM
+            # promotion breaks the dynamic-start band DMA
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=[
             # constant index map: one VMEM block accumulated across the
@@ -362,11 +392,11 @@ def _bwd_call(q_packed, neighb_sorted, s_packed, x_sorted,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((query_tile, coutp), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         scratch_shapes=[
             pltpu.VMEM((band_cap, 128), jnp.float32),
-            pltpu.VMEM((band_cap, c), jnp.float32),
+            pltpu.VMEM((band_cap, c), pd),
             pltpu.VMEM((band_cap, c), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -392,8 +422,8 @@ def _bwd_call(q_packed, neighb_sorted, s_packed, x_sorted,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def band_conv_ad(band_cap, query_tile, interpret,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def band_conv_ad(band_cap, query_tile, interpret, panel_dtype,
                  q_packed, neighb_sorted, s_packed, x_sorted,
                  weights, kernel_points, starts, extent):
     """Differentiable band KPConv. Forward == :func:`band_conv`; backward
@@ -410,14 +440,15 @@ def band_conv_ad(band_cap, query_tile, interpret,
         q_packed, neighb_sorted, s_packed, x_sorted, weights,
         kernel_points, starts, extent,
         band_cap=band_cap, query_tile=query_tile, interpret=interpret,
+        panel_dtype=panel_dtype,
     )
 
 
-def _band_conv_ad_fwd(band_cap, query_tile, interpret,
+def _band_conv_ad_fwd(band_cap, query_tile, interpret, panel_dtype,
                       q_packed, neighb_sorted, s_packed,
                       x_sorted, weights, kernel_points, starts, extent):
     out = band_conv_ad(
-        band_cap, query_tile, interpret,
+        band_cap, query_tile, interpret, panel_dtype,
         q_packed, neighb_sorted, s_packed, x_sorted, weights,
         kernel_points, starts, extent,
     )
@@ -426,37 +457,32 @@ def _band_conv_ad_fwd(band_cap, query_tile, interpret,
     return out, res
 
 
-def _band_conv_ad_bwd(band_cap, query_tile, interpret, res, g):
+def _band_conv_ad_bwd(band_cap, query_tile, interpret, panel_dtype, res, g):
     (q_packed, neighb_sorted, s_packed, x_sorted, weights,
      kernel_points, starts, extent) = res
+    pd = jnp.bfloat16 if panel_dtype == "bfloat16" else jnp.float32
+    starts = (starts.astype(jnp.int32) // 8) * 8  # same alignment as fwd
     kp_count, c0, cout0 = weights.shape
     c = c0 + ((-c0) % 128)
     coutp = cout0 + ((-cout0) % 128)
 
     w_flat = jnp.pad(
-        weights.astype(jnp.float32),
+        weights.astype(pd),
         ((0, 0), (0, c - c0), (0, coutp - cout0)),
     ).reshape(kp_count * c, coutp)
-    x_p = jnp.pad(x_sorted.astype(jnp.float32), ((0, 0), (0, c - c0)))
+    x_p = jnp.pad(x_sorted.astype(pd), ((0, 0), (0, c - c0)))
     g_p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, coutp - cout0)))
     kp_flat = kernel_points.astype(jnp.float32).reshape(1, -1)
     dx_init = jnp.zeros((s_packed.shape[0], c), jnp.float32)
 
-    # the backward runs at HALF the forward's query tile: it keeps three
-    # [band, C] scratch buffers + the dW/W blocks resident on top of the
-    # forward's live set, and the forward tile's [band, tile] panels
-    # already fill most of the 16 MB VMEM scope. Each half-tile reuses its
-    # parent tile's band start — the parent window covers a subset of its
-    # queries by construction.
-    tb = max(128, query_tile // 2)  # 128 = Mosaic lane-divisibility floor
-    rep = query_tile // tb
-    starts_b = jnp.repeat(starts, rep) if rep > 1 else starts
-
+    # same query tile as the forward: a halved backward tile (tried for
+    # VMEM headroom) costs ~2x band DMA + half-size MXU panels — with the
+    # kernels' raised vmem_limit_bytes the full tile fits
     dw_flat, _, dx_full = _bwd_call(
         q_packed.astype(jnp.float32), neighb_sorted,
         s_packed.astype(jnp.float32), x_p, w_flat, kp_flat,
-        starts_b, extent, g_p, dx_init,
-        band_cap=band_cap, query_tile=tb, interpret=interpret,
+        starts, extent, g_p, dx_init,
+        band_cap=band_cap, query_tile=query_tile, interpret=interpret,
     )
     dweights = dw_flat.reshape(kp_count, c, coutp)[:, :c0, :cout0]
     dweights = dweights.astype(weights.dtype)

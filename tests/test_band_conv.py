@@ -134,3 +134,62 @@ def test_kpfcnn_forward_with_band_conv_matches_xla():
         np.asarray(out_band.scores)[:total],
         np.asarray(out_xla.scores)[:total], atol=3e-3,
     )
+
+
+def test_band_conv_bf16_panels_close_to_f32():
+    """bfloat16 panel mode: MXU operands in bf16, f32 accumulation.
+
+    Geometry/selection/density stay f32, so the neighbor set is identical;
+    only the feature contractions round. Descriptor-level error stays well
+    under 1% relative.
+    """
+    import dataclasses  # noqa: F401
+
+    rng = np.random.default_rng(5)
+    n = 900
+    pts = (rng.uniform(0, 1, size=(n, 3))
+           * np.array([2.0, 1.5, 0.8])).astype(np.float32)
+    cap = 1024
+    padded = np.full((cap, 3), 1.0e6, np.float32)
+    padded[:n] = pts
+    lens = np.array([n, 0], np.int32)
+    r, k, cin, cout, kpn = 0.25, 24, 32, 32, 15
+
+    pts_j = jnp.asarray(padded)
+    lens_j = jnp.asarray(lens)
+    axis, origin = make_level_frame(pts_j, lens_j, 2)
+    lvl = SortedLevel(pts_j, lens_j, 2, axis, origin, band_pad=512)
+
+    T, BAND = 64, 512
+    neighb, ov = radius_neighbors_sorted(
+        lvl, lvl, r, max_k=k, query_tile=T, band_cap=BAND, interpret=True,
+        raw_positions=True)
+    assert not bool(ov)
+
+    kp = load_kernels(r, kpn, deterministic=True).astype(np.float32)
+    params = init_kpconv(jax.random.key(0), kpn, cin, cout, kp)
+    x = rng.normal(size=(cap, cin)).astype(np.float32)
+    x[len(pts):] = 0.0
+    x_sorted = jnp.concatenate([
+        jnp.asarray(x)[lvl.order], jnp.zeros((lvl.band_pad, cin),
+                                             jnp.float32)])
+    neighb_sorted = jnp.asarray(neighb).T
+    extent = r * 2.0 / 2.5
+
+    qk = lvl.key_sorted.reshape(-1, T)
+    valid = qk < 2 * SortedLevel.KOFF
+    kmin = jnp.min(jnp.where(valid, qk, jnp.float32(3e37)), axis=1)
+    starts = jnp.minimum(jnp.searchsorted(
+        lvl.key_sorted, kmin - (r + SortedLevel.EPS)).astype(jnp.int32), cap)
+
+    outs = {}
+    for pd in ("float32", "bfloat16"):
+        outs[pd] = np.asarray(band_conv(
+            lvl.q_packed, neighb_sorted, lvl.s_packed, x_sorted,
+            params.weights, params.kernel_points, starts,
+            jnp.float32(extent),
+            band_cap=BAND, query_tile=T, interpret=True, panel_dtype=pd,
+        ))[:n]
+    ref, got = outs["float32"], outs["bfloat16"]
+    rel = (np.linalg.norm(got - ref) / np.linalg.norm(ref))
+    assert rel < 0.01, f"bf16 panel relative error {rel}"

@@ -79,7 +79,7 @@ def test_band_conv_ad_grads_match_xla_kpconv():
         x_sorted = jnp.concatenate([
             x_in, jnp.zeros((lvl.band_pad, cin), jnp.float32)])
         out_sorted = band_conv_ad(
-            BAND, T, True,
+            BAND, T, True, "float32",
             lvl.q_packed, neighb_sorted, lvl.s_packed,
             x_sorted, w_in, params.kernel_points, starts,
             jnp.float32(extent),

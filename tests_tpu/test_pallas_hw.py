@@ -103,7 +103,7 @@ def test_band_conv_fwd_bwd_vs_xla_on_hw():
         x_sorted = jnp.concatenate([
             x_in, jnp.zeros((lvl.band_pad, cin), jnp.float32)])
         out_sorted = band_conv_ad(
-            BAND, T, False,   # interpret=False: real Mosaic
+            BAND, T, False, "float32",   # interpret=False: real Mosaic
             lvl.q_packed, neighb_sorted, lvl.s_packed,
             x_sorted, w_in, params.kernel_points, starts,
             jnp.float32(extent),

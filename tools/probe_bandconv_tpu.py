@@ -1,5 +1,9 @@
 """Compile/run band_conv on TPU per block shape; check vs XLA kpconv."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -30,7 +34,9 @@ starts = jnp.minimum(jnp.searchsorted(lvl.key_sorted, kmin - (r + 0.02)).astype(
 kp = load_kernels(r, 15, deterministic=True).astype(np.float32)
 extent = r * 2.0 / 2.5
 
-for cin, cout in ((1, 64), (32, 32), (64, 64)):
+for cin, cout, pdt in ((1, 64, "float32"), (1, 64, "bfloat16"),
+                       (64, 64, "float32"), (64, 64, "bfloat16"),
+                       (128, 128, "float32"), (128, 128, "bfloat16")):
     params = init_kpconv(jax.random.key(0), 15, cin, cout, kp)
     x = rng.normal(size=(cap, cin)).astype(np.float32); x[N:] = 0.0
     x = np.abs(x)  # positive like post-relu
@@ -41,7 +47,8 @@ for cin, cout in ((1, 64), (32, 32), (64, 64)):
         out_sorted = band_conv(lvl.q_packed, neighb_sorted, lvl.s_packed,
                                x_sorted, params.weights,
                                params.kernel_points, starts, jnp.float32(extent),
-                               band_cap=BANDP, query_tile=128)
+                               band_cap=BANDP, query_tile=128,
+                               panel_dtype=pdt)
         jax.block_until_ready(out_sorted)
         c = time.perf_counter() - t0
         ref, _ = kpconv(lvl.pts_sorted, lvl.pts_sorted, jnp.asarray(neighb),
@@ -54,7 +61,8 @@ for cin, cout in ((1, 64), (32, 32), (64, 64)):
             out_sorted = band_conv(lvl.q_packed, neighb_sorted, lvl.s_packed,
                                    x_sorted, params.weights,
                                    params.kernel_points, starts, jnp.float32(extent),
-                                   band_cap=BANDP, query_tile=128)
+                                   band_cap=BANDP, query_tile=128,
+                                   panel_dtype=pdt)
         jax.block_until_ready(out_sorted)
         # XLA reference timing
         t1 = time.perf_counter()
@@ -64,7 +72,9 @@ for cin, cout in ((1, 64), (32, 32), (64, 64)):
                             KP_extent=extent, KP_influence="linear", aggregation_mode="sum")
         jax.block_until_ready(ref)
         t2 = time.perf_counter()
-        print(f"cin={cin} cout={cout}: compile {c:.1f}s, band {(t1-t0)/20*1e3:.2f} ms, "
+        print(f"cin={cin} cout={cout} {pdt}: compile {c:.1f}s, "
+              f"band {(t1-t0)/20*1e3:.2f} ms, "
               f"xla {(t2-t1)/20*1e3:.2f} ms, maxerr {err:.2e}", flush=True)
     except Exception as e:
-        print(f"cin={cin} cout={cout}: FAILED {str(e)[:160]}", flush=True)
+        print(f"cin={cin} cout={cout} {pdt}: FAILED {str(e)[:160]}",
+              flush=True)

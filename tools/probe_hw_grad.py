@@ -68,7 +68,8 @@ def loss_band(x_in, w_in):
     x_sorted = jnp.concatenate(
         [x_in, jnp.zeros((lvl.band_pad, cin), jnp.float32)])
     out_sorted = band_conv_ad(
-        BAND, T, False, lvl.q_packed, neighb_sorted, lvl.s_packed,
+        BAND, T, False, "float32",
+        lvl.q_packed, neighb_sorted, lvl.s_packed,
         x_sorted, w_in, params.kernel_points, starts, jnp.float32(extent))
     return jnp.sum(out_sorted[:cap] * cot)
 

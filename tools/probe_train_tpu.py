@@ -14,6 +14,8 @@ from d3feat_tpu.data.synthetic import scan_pair
 from d3feat_tpu.train.step import init_train_state, make_train_step
 
 cfg = D3FeatConfig()
+if "--bf16" in sys.argv:
+    cfg.compute_dtype = "bfloat16"
 cfg.caps = PyramidCaps(points=(32768, 16384, 4096, 1536, 512),
                        neighbors=(40,)*5, corr=128)
 cfg.query_tile = 512

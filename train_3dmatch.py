@@ -9,7 +9,9 @@ the data pipeline is the thread-prefetch loader feeding the on-device
 pyramid (no C++ collate workers).
 
 Run ``python train_3dmatch.py --root /data/3DMatch`` for the real dataset,
-or ``python train_3dmatch.py --synthetic`` for a hermetic smoke run.
+``python train_3dmatch.py --synthetic`` for a hermetic smoke run, or
+``python train_3dmatch.py --scan`` for simulated depth-scan pairs with
+realistic (fused RGB-D) density at full 3DMatch-like point counts.
 """
 
 import argparse
@@ -20,8 +22,17 @@ from d3feat_tpu.data.loader import PairLoader
 from d3feat_tpu.train.trainer import Trainer
 
 
-def make_loaders(config, synthetic: bool):
-    if synthetic:
+def make_loaders(config, synthetic: bool, scan: bool = False):
+    if scan:
+        from d3feat_tpu.data.synthetic import ScanPairDataset
+
+        train_ds = ScanPairDataset(
+            size=max(32, config.training_max_iter), num_corr=config.num_node,
+            seed=config.seed)
+        val_ds = ScanPairDataset(
+            size=max(8, config.val_max_iter), num_corr=64,
+            seed=config.seed + 7919)
+    elif synthetic:
         from d3feat_tpu.data.synthetic import SyntheticPairDataset
 
         train_ds = SyntheticPairDataset(
@@ -62,8 +73,11 @@ def main(argv=None):
     synthetic = "--synthetic" in argv
     if synthetic:
         argv.remove("--synthetic")
+    scan = "--scan" in argv
+    if scan:
+        argv.remove("--scan")
     config = get_config(argv)
-    train_loader, val_loader = make_loaders(config, synthetic)
+    train_loader, val_loader = make_loaders(config, synthetic, scan)
     trainer = Trainer(config, train_loader, val_loader)
     trainer.train()
     return 0
