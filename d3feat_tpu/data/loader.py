@@ -97,34 +97,39 @@ class PairLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    group = indices[b * d : b * d + d]
-                    if len(group) < d:  # wrap-around fill for the last batch
-                        group = np.concatenate([group, indices[: d - len(group)]])
-                    parts = list(pool.map(load_one, group))
-                    out = {
-                        k: np.stack([p[k] for p in parts], axis=0)
-                        for k in parts[0]
-                    }
-                    while not stop.is_set():
-                        try:
-                            q.put(out, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-            # the terminal sentinel must also be stop-aware: a blocking put
-            # against a full queue would leak this thread (and its prefetched
-            # batches) forever if the consumer abandoned iteration
+        def stop_aware_put(item):
             while not stop.is_set():
                 try:
-                    q.put(None, timeout=0.5)
-                    break
+                    q.put(item, timeout=0.5)
+                    return
                 except queue.Full:
                     continue
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        group = indices[b * d : b * d + d]
+                        if len(group) < d:  # wrap-around fill, last batch
+                            group = np.concatenate(
+                                [group, indices[: d - len(group)]])
+                        parts = list(pool.map(load_one, group))
+                        out = {
+                            k: np.stack([p[k] for p in parts], axis=0)
+                            for k in parts[0]
+                        }
+                        stop_aware_put(out)
+            except BaseException as e:  # noqa: BLE001
+                # surface worker failures to the consumer — a silently dead
+                # producer would leave the consumer blocked on q.get()
+                stop_aware_put(e)
+                return
+            # the terminal sentinel must also be stop-aware: a blocking put
+            # against a full queue would leak this thread (and its
+            # prefetched batches) if the consumer abandoned iteration
+            stop_aware_put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -133,6 +138,8 @@ class PairLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

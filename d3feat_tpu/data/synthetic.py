@@ -234,28 +234,41 @@ def scan_pair(
     """
     from scipy.spatial import cKDTree
 
-    room = make_room(rng)
-    lo, hi, _ = room
-    center = (lo + hi) / 2.0
-    eye0 = rng.uniform(lo + [0.4, 0.4, 1.0], np.maximum(hi - 0.4, lo + 0.5))
-    eye0[2] = min(eye0[2], hi[2] - 0.4)
-    eye1 = np.clip(eye0 + rng.uniform(-0.7, 0.7, 3), lo + 0.35, hi - 0.35)
-    tgt0 = center + rng.uniform(-0.8, 0.8, 3)
-    tgt1 = tgt0 + rng.uniform(-0.6, 0.6, 3)
-
     from d3feat_tpu.data.threedmatch import voxel_downsample
 
-    w0 = voxel_downsample(
-        _fused_views(rng, room, eye0, tgt0, 3, resolution), downsample)
-    w1 = voxel_downsample(
-        _fused_views(rng, room, eye1, tgt1, 3, resolution), downsample)
+    # a degenerate camera draw can see (almost) nothing or share no
+    # overlap; redraw the scene until both scans and the correspondence
+    # set are usable
+    for _ in range(32):
+        room = make_room(rng)
+        lo, hi, _ = room
+        center = (lo + hi) / 2.0
+        eye0 = rng.uniform(lo + [0.4, 0.4, 1.0],
+                           np.maximum(hi - 0.4, lo + 0.5))
+        eye0[2] = min(eye0[2], hi[2] - 0.4)
+        eye1 = np.clip(eye0 + rng.uniform(-0.7, 0.7, 3),
+                       lo + 0.35, hi - 0.35)
+        tgt0 = center + rng.uniform(-0.8, 0.8, 3)
+        tgt1 = tgt0 + rng.uniform(-0.6, 0.6, 3)
 
-    tree = cKDTree(w1)
-    dist, j = tree.query(w0, k=1, distance_upper_bound=corr_radius)
-    ii = np.nonzero(np.isfinite(dist))[0]
-    pairs = np.stack([ii, j[ii]], axis=1).astype(np.int32)
-    if len(pairs) > num_corr:
-        pairs = pairs[rng.choice(len(pairs), num_corr, replace=False)]
+        w0 = voxel_downsample(
+            _fused_views(rng, room, eye0, tgt0, 3, resolution), downsample)
+        w1 = voxel_downsample(
+            _fused_views(rng, room, eye1, tgt1, 3, resolution), downsample)
+        if len(w0) < 256 or len(w1) < 256:
+            continue
+
+        tree = cKDTree(w1)
+        dist, j = tree.query(w0, k=1, distance_upper_bound=corr_radius)
+        ii = np.nonzero(np.isfinite(dist))[0]
+        if len(ii) < 8:
+            continue
+        pairs = np.stack([ii, j[ii]], axis=1).astype(np.int32)
+        if len(pairs) > num_corr:
+            pairs = pairs[rng.choice(len(pairs), num_corr, replace=False)]
+        break
+    else:
+        raise RuntimeError("scan_pair: no usable scene after 32 draws")
 
     # each cloud in its own (zero-mean, randomly rotated) frame
     c0 = w0.mean(axis=0, keepdims=True)
@@ -289,11 +302,37 @@ class ScanPairDataset:
     def packed(self, index: int, *, point_capacity: int, corr_capacity: int):
         from d3feat_tpu.data.pack import pack_pair
 
-        rng = np.random.default_rng(self.seed * 99991 + index)
-        pts0, pts1, corr, dk = scan_pair(
-            rng, resolution=self.resolution, num_corr=self.num_corr,
-            downsample=self.downsample,
-        )
+        # rejection-sample scenes until the pair fits the static capacity
+        # (fused scans of large rooms can exceed it); a final random
+        # subsample bounds the loop — mirrors the reference protocol's
+        # points_lim crop (reference: datasets/ThreeDMatch.py:27-43)
+        for attempt in range(16):
+            rng = np.random.default_rng(
+                self.seed * 99991 + index + attempt * 7577791)
+            pts0, pts1, corr, dk = scan_pair(
+                rng, resolution=self.resolution, num_corr=self.num_corr,
+                downsample=self.downsample,
+            )
+            if len(pts0) + len(pts1) <= point_capacity:
+                break
+        else:
+            budget = point_capacity // 2
+            keep0 = np.sort(rng.choice(
+                len(pts0), size=min(len(pts0), budget), replace=False))
+            keep1 = np.sort(rng.choice(
+                len(pts1), size=min(len(pts1), budget), replace=False))
+            inv0 = np.full(len(pts0), -1, np.int64)
+            inv0[keep0] = np.arange(len(keep0))
+            inv1 = np.full(len(pts1), -1, np.int64)
+            inv1[keep1] = np.arange(len(keep1))
+            corr = np.stack([inv0[corr[:, 0]], inv1[corr[:, 1]]], axis=1)
+            corr = corr[(corr >= 0).all(axis=1)]
+            if len(corr) == 0:  # degenerate: anchor a single trivial pair
+                corr = np.zeros((1, 2), np.int64)
+            pts0, pts1 = pts0[keep0], pts1[keep1]
+            anc = pts0[corr[:, 0]]
+            dk = np.linalg.norm(
+                anc[:, None] - anc[None], axis=-1).astype(np.float32)
         f0 = np.ones((len(pts0), 1), np.float32)
         f1 = np.ones((len(pts1), 1), np.float32)
         return pack_pair(

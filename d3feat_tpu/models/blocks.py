@@ -431,10 +431,17 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config,
     tiles = qk.reshape(-1, T)
     valid = tiles < num_clouds * SortedLevel.KOFF
     kmin = jnp.min(jnp.where(valid, tiles, jnp.float32(3.0e37)), axis=1)
+    kmax = jnp.max(jnp.where(valid, tiles, jnp.float32(-1.0)), axis=1)
     starts = jnp.searchsorted(
         sb["key_sorted"], kmin - (r + SortedLevel.EPS), method="sort"
     ).astype(jnp.int32)
     starts = jnp.minimum(starts, s_rows)
+    # actual band end per tile: gates the kernel's chunk loop to the real
+    # window (list positions provably lie below it); work-only, see
+    # ops/pallas/band_conv
+    ends = jnp.searchsorted(
+        sb["key_sorted"], kmax + (r + SortedLevel.EPS), method="sort"
+    ).astype(jnp.int32)
 
     # density ratio: a strided block's query tile spans ~T * ratio support
     # rows (same sizing as the pyramid's pool search at this level)
@@ -450,6 +457,6 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config,
         q_packed, neighb_sorted, sb["s_packed"], x_sorted,
         conv_params.weights,
         jax.lax.stop_gradient(conv_params.kernel_points),
-        starts, jnp.float32(extent),
+        starts, jnp.float32(extent), ends,
     )
     return out_sorted[:n_q_rows]

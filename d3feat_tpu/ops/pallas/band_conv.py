@@ -11,9 +11,17 @@ band, so the convolution can be computed densely over the band:
       y[q] += (w_kp @ band_x)[q] @ W[kp]                          MXU
 
 ``selected`` reproduces the reference's neighbor-cap truncation exactly: a
-band point participates iff its ORIGINAL index appears in the query's
-[K]-wide neighbor list (the pyramid's calibrated, distance-sorted list) —
-K equality compares against the band's index row, no gathers anywhere.
+band point participates iff its sorted-space POSITION appears in the
+query's [K]-wide neighbor list (the pyramid's calibrated, distance-sorted
+list) — K equality compares against an iota, no gathers anywhere.
+
+The band is processed in CHUNK-row pieces by a fori_loop whose trip count
+is the tile's ACTUAL band occupancy (ceil((end-start)/CHUNK), from the
+per-tile ``ends``): kernel cycles scale with the real window, not the
+worst-case static cap (real fragments occupy ~30-50% of the density-sized
+cap). Rows in [end, chunk boundary) are computed but select nothing (their
+positions appear in no list), so ``ends`` only gates WORK, never
+correctness — a conservative ``ends = starts + band_cap`` is always valid.
 
 Density normalization (reference models/blocks.py:377-380): divide by the
 number of selected neighbors with non-zero feature rows (min 1).
@@ -21,12 +29,11 @@ number of selected neighbors with non-zero feature rows (min 1).
 Layout (per the Mosaic v5e constraints in ops/pallas/select.py):
   q_packed  [8, Nq_pad]        sublanes x, y, z, cid
   s_packed  [Ns_pad, 128]      lanes 0-2 coords (cid unused here)
-  sidx      [Ns_pad, 128] i32  lane 0 = original support index (row-DMA'd)
   x_sorted  [Ns_pad, C]        support features in sorted order
-  neighb    [Nq_pad, K] i32    neighbor lists in SORTED-query row order,
-                               ORIGINAL support indices, shadow = big
+  neighb    [K, Nq_pad] i32    neighbor lists in SORTED-query row order,
+                               sorted-support POSITIONS, shadow = ns
   weights   [KP, C, Cout]
-  kp_pts    [KP, 3] in SMEM-compatible form -> passed as [8, KP] f32 VMEM
+  kp_pts    [1, 3*KP] f32 in SMEM
 """
 
 from __future__ import annotations
@@ -38,98 +45,114 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+CHUNK = 256  # band chunk rows; every band_cap is a multiple (level_band_cap
+# rounds to 256), so chunked DMA never overruns the level's band padding
+
 
 def _band_conv_kernel(
-    starts_ref,          # [n_tiles] i32 scalar prefetch
+    n_chunk_max,         # python int: band_cap // CHUNK
+    starts_ref,          # [n_tiles] i32 scalar prefetch (8-aligned)
+    ends_ref,            # [n_tiles] i32 scalar prefetch: band end per tile
     q_ref,               # [8, T] f32 (x, y, z, cid)
     neighb_ref,          # [K, T] i32 sorted-support POSITIONS (transposed:
                          #   per-k rows are lane vectors, no relayouts)
     kp_ref,              # [1, 3 * KP] f32 SMEM kernel point coords
-    w_ref,               # [KP * C, Cout] f32 conv weights (flattened)
+    w_ref,               # [KP * C, Cout] panel-dtype conv weights (flat)
     scal_ref,            # [1, 1] f32 SMEM: extent
     s_hbm,               # [Ns_pad, 128] f32 packed coords
     x_hbm,               # [Ns_pad, C] panel-dtype sorted features
     out_ref,             # [T, Cout] f32
-    band_ref,            # [BAND, 128] f32 scratch
-    bx_ref,              # [BAND, C] panel-dtype scratch
+    band_ref,            # [CHUNK, 128] f32 scratch
+    bx_ref,              # [CHUNK, C] panel-dtype scratch
+    acc_ref,             # [T, Cout] f32 scratch accumulator
+    den_ref,             # [8, T] f32 scratch (row 0 = density count)
     sem,                 # DMA semaphores (2,)
 ):
     # panel dtype (f32 or bf16) is carried by the feature/weight operands;
-    # geometry, selection, density and accumulation always stay f32
+    # geometry, selection, density and accumulators always stay f32
     pd = bx_ref.dtype
     T = q_ref.shape[1]
     K = neighb_ref.shape[0]
-    BAND = band_ref.shape[0]
     KP = kp_ref.shape[1] // 3
     i = pl.program_id(0)
     # callers floor starts to multiples of 8 (bf16 HBM tiling demands a
     # provably aligned DMA start; the hint carries the proof to Mosaic)
     start = pl.multiple_of(starts_ref[i], 8)
+    n_act = jnp.clip(
+        (ends_ref[i] - start + CHUNK - 1) // CHUNK, 0, n_chunk_max)
 
-    cp1 = pltpu.make_async_copy(s_hbm.at[pl.ds(start, BAND), :], band_ref,
-                                sem.at[0])
-    cp3 = pltpu.make_async_copy(x_hbm.at[pl.ds(start, BAND), :], bx_ref,
-                                sem.at[1])
-    cp1.start(); cp3.start()
-    cp1.wait(); cp3.wait()
-
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    den_ref[:] = jnp.zeros_like(den_ref)
     extent = scal_ref[0, 0]
-
-    # selected[n, q]: band row's sorted-space POSITION appears in the
-    # query's list — the sorted-space pyramid contract makes this a pure
-    # iota compare (no index DMA)
-    bidx = (jax.lax.broadcasted_iota(jnp.int32, (BAND, 1), 0)
-            + start)                             # [BAND, 1] i32
-    sel = jnp.zeros((BAND, T), jnp.float32)
-    for k in range(K):
-        sel = sel + (bidx == neighb_ref[k:k + 1, :]).astype(jnp.float32)
-    # each position appears at most once per list -> sel in {0, 1}
-
-    # band feature-row activity for density normalization
-    row_sum = jnp.sum(bx_ref[:], axis=1, keepdims=True,
-                      dtype=jnp.float32)                     # [BAND, 1]
-    # reference counts rows with POSITIVE sums (blocks.py:377-380)
-    active = (row_sum > 0.0).astype(jnp.float32)             # [BAND, 1]
-    denom = jnp.sum(sel * active, axis=0)                    # [T]
-    denom = jnp.maximum(denom, 1.0)
-
     qx = q_ref[0:1, :]
     qy = q_ref[1:2, :]
     qz = q_ref[2:3, :]
-
     C = bx_ref.shape[1]
-    Cout = out_ref.shape[1]
 
-    # UNROLLED python loop over kernel points: a fori_loop here costs ~20%
-    # end-to-end serving throughput (30.6 -> 23.9 fragments/s measured) —
-    # Mosaic software-pipelines the unrolled straight-line code across MXU
-    # and VPU. The price is VMEM: several iterations' [BAND, T] panels stay
-    # live at once, so the pallas_call raises vmem_limit_bytes above the
-    # 16 MB default (v5e has 128 MB/core). SMEM scalar reads: width-1 VMEM
-    # lane slices are rejected by Mosaic. d2 accumulates one axis at a
-    # time, and rx/ry/rz are NOT hoisted — folding the query offset into
-    # the kernel-point offset ([1, T] lane add) makes the per-kp subtract
-    # free either way.
-    acc = jnp.zeros((T, Cout), jnp.float32)
-    for kp in range(KP):
-        d = band_ref[:, 0:1] - (qx + kp_ref[0, 3 * kp + 0])
-        d2 = d * d
-        d = band_ref[:, 1:2] - (qy + kp_ref[0, 3 * kp + 1])
-        d2 = d2 + d * d
-        d = band_ref[:, 2:3] - (qz + kp_ref[0, 3 * kp + 2])
-        d2 = d2 + d * d
-        w = jnp.maximum(1.0 - jnp.sqrt(d2) / extent, 0.0) * sel  # [BAND, T]
-        weighted = jax.lax.dot_general(
-            w.astype(pd), bx_ref[:],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, C] f32
-        acc = acc + jax.lax.dot_general(
-            weighted.astype(pd), w_ref[pl.ds(kp * C, C), :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    out_ref[:] = acc / denom[:, None]
+    def chunk_body(cb, carry):
+        base = pl.multiple_of(start + cb * CHUNK, 8)
+        cp1 = pltpu.make_async_copy(s_hbm.at[pl.ds(base, CHUNK), :],
+                                    band_ref, sem.at[0])
+        cp2 = pltpu.make_async_copy(x_hbm.at[pl.ds(base, CHUNK), :],
+                                    bx_ref, sem.at[1])
+        cp1.start(); cp2.start()
+        cp1.wait(); cp2.wait()
+
+        # selected[n, q]: chunk row's absolute position appears in the
+        # query's list — the sorted-space pyramid contract makes this a
+        # pure iota compare (no index DMA)
+        bidx = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + base)
+        sel = jnp.zeros((CHUNK, T), jnp.float32)
+        for k in range(K):
+            sel = sel + (bidx == neighb_ref[k:k + 1, :]).astype(jnp.float32)
+        # each position appears at most once per list -> sel in {0, 1}
+
+        # feature-row activity for density normalization: the reference
+        # counts rows with POSITIVE sums (blocks.py:377-380)
+        row_sum = jnp.sum(bx_ref[:], axis=1, keepdims=True,
+                          dtype=jnp.float32)                 # [CHUNK, 1]
+        active = (row_sum > 0.0).astype(jnp.float32)
+        den_ref[0:1, :] = den_ref[0:1, :] + jnp.sum(
+            sel * active, axis=0, keepdims=True)
+
+        # UNROLLED python loop over kernel points: a fori_loop here costs
+        # ~20% end-to-end serving throughput — Mosaic software-pipelines
+        # the straight-line code across MXU and VPU. SMEM scalar reads:
+        # width-1 VMEM lane slices are rejected by Mosaic. d2 accumulates
+        # one axis at a time; rx/ry/rz are NOT hoisted — folding the query
+        # offset into the kernel-point offset ([1, T] lane add) makes the
+        # per-kp subtract free either way.
+        for kp in range(KP):
+            d = band_ref[:, 0:1] - (qx + kp_ref[0, 3 * kp + 0])
+            d2 = d * d
+            d = band_ref[:, 1:2] - (qy + kp_ref[0, 3 * kp + 1])
+            d2 = d2 + d * d
+            d = band_ref[:, 2:3] - (qz + kp_ref[0, 3 * kp + 2])
+            d2 = d2 + d * d
+            w = jnp.maximum(1.0 - jnp.sqrt(d2) / extent, 0.0) * sel
+            weighted = jax.lax.dot_general(
+                w.astype(pd), bx_ref[:],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, C] f32
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                weighted.astype(pd), w_ref[pl.ds(kp * C, C), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return carry
+
+    jax.lax.fori_loop(0, n_act, chunk_body, jnp.int32(0))
+    den = jnp.maximum(den_ref[0:1, :].reshape((T,)), 1.0)
+    out_ref[:] = acc_ref[:] / den[:, None]
+
+
+def _prep_ends(starts, ends, band_cap, ns):
+    """Per-tile band ends: conservative full-cap default, else clipped."""
+    if ends is None:
+        return starts + jnp.int32(band_cap)
+    ends = ends.astype(jnp.int32)
+    return jnp.clip(ends, starts, starts + jnp.int32(band_cap))
 
 
 @functools.partial(
@@ -145,6 +168,7 @@ def band_conv(
     kernel_points: jax.Array,  # [KP, 3]
     starts: jax.Array,       # [n_tiles] i32
     extent: jax.Array,       # [] f32
+    ends: jax.Array | None = None,  # [n_tiles] i32 actual band ends
     *,
     band_cap: int,
     query_tile: int,
@@ -154,17 +178,19 @@ def band_conv(
     """[Nq_pad, Cout] KPConv outputs for sorted-order queries (linear
     influence, sum aggregation).
 
-    ``panel_dtype='bfloat16'`` runs the MXU panel contractions (influence x
-    features, weighted x weights) on bf16 operands with f32 accumulation —
-    ~4x MXU rate on v5e and half the band feature DMA. Geometry, selection,
-    density counts and accumulators stay f32."""
+    ``ends`` bounds each tile's chunk loop to its actual band occupancy
+    (pure work gating — see module docstring). ``panel_dtype='bfloat16'``
+    runs the MXU panel contractions on bf16 operands with f32 accumulation;
+    geometry, selection and density counts stay f32."""
     pd = jnp.bfloat16 if panel_dtype == "bfloat16" else jnp.float32
     # 8-row alignment for the dynamic band DMA (bf16 HBM tiling); matches
     # the select search's flooring so the windows coincide
     starts = (starts.astype(jnp.int32) // 8) * 8
+    ends = _prep_ends(starts, ends, band_cap, s_packed.shape[0])
     nq = q_packed.shape[1]
     n_tiles = nq // query_tile
     assert n_tiles * query_tile == nq
+    assert band_cap % CHUNK == 0, "band_cap must be a CHUNK multiple"
     kp_count, c, cout = weights.shape
     # pad Cin to a lane multiple (128): narrow feature rows can't be DMA'd
     # and weight-row slices must be tile-aligned
@@ -177,13 +203,13 @@ def band_conv(
     kp_flat = kernel_points.astype(jnp.float32).reshape(1, -1)  # [1, 3*KP]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, query_tile), lambda i, s: (0, i),
+            pl.BlockSpec((8, query_tile), lambda i, s, e: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((neighb_sorted.shape[0], query_tile),
-                         lambda i, s: (0, i), memory_space=pltpu.VMEM),
+                         lambda i, s, e: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -194,28 +220,24 @@ def band_conv(
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((query_tile, cout), lambda i, s: (i, 0),
+        out_specs=pl.BlockSpec((query_tile, cout), lambda i, s, e: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((band_cap, 128), jnp.float32),
-            pltpu.VMEM((band_cap, c), pd),
+            pltpu.VMEM((CHUNK, 128), jnp.float32),
+            pltpu.VMEM((CHUNK, c), pd),
+            pltpu.VMEM((query_tile, cout), jnp.float32),
+            pltpu.VMEM((8, query_tile), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        _band_conv_kernel,
+        functools.partial(_band_conv_kernel, band_cap // CHUNK),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nq, cout), jnp.float32),
-        # the unrolled kp loop keeps several [band, tile] panels live: the
-        # default 16 MB scoped limit trips at wide (density-sized) bands —
-        # e.g. 26.5 MB at a 32k-row training L0 — while v5e has 128 MB of
-        # VMEM per core and the in/out blocks needing double-buffer space
-        # are tiny
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         starts.astype(jnp.int32),
+        ends.astype(jnp.int32),
         q_packed.astype(jnp.float32),
         neighb_sorted.astype(jnp.int32),
         kp_flat,
@@ -232,133 +254,117 @@ def band_conv(
 
 
 def _band_conv_bwd_kernel(
-    starts_ref,          # [n_tiles] i32 scalar prefetch
+    n_chunk_max,         # python int: band_cap // CHUNK
+    starts_ref,          # [n_tiles] i32 scalar prefetch (8-aligned)
+    ends_ref,            # [n_tiles] i32 scalar prefetch
     q_ref,               # [8, T] f32
     neighb_ref,          # [K, T] i32 sorted-support positions
     kp_ref,              # [1, 3 * KP] f32 SMEM
-    w_ref,               # [KP * C, Coutp] f32 VMEM
+    w_ref,               # [KP * C, Coutp] panel-dtype VMEM
     scal_ref,            # [1, 1] f32 SMEM: extent
-    g_ref,               # [T, Coutp] f32 cotangent block (sorted-query order)
+    gs_ref,              # [T, Coutp] f32 PRE-SCALED cotangent block
+                         #   (g / denom, computed by XLA outside)
     s_hbm, x_hbm,        # coords f32; features in panel dtype
-    dx_io,               # [Ns_pad, C] f32 ANY — zero-initialized, aliased out
+    dx_io,               # [Ns_pad, C] f32 HBM — zero-initialized, aliased
     dw_ref,              # [KP * C, Coutp] f32 OUT — accumulated over tiles
-    gs_ref,              # [T, Coutp] f32 OUT — g / denom per query
-    dx_out,              # alias of dx_io (ANY)
+    dx_out,              # alias of dx_io (HBM)
     band_ref, bx_ref, dxs_ref, sem,
 ):
-    """One query-tiled pass computes ALL backward quantities:
+    """Chunked query-tiled backward:
 
-      dW_kp += weighted_kp(q)^T (g/denom)(q)           (revolving VMEM acc)
-      gs      = g / denom                               (emitted for debug)
-      dx[band] += w_kp @ ((g/denom) @ W_kp^T)           (HBM read-mod-write)
+      dW_kp += weighted_kp(q)^T gs(q)                  (revolving VMEM acc)
+      dx[chunk] += w_kp @ (gs @ W_kp^T)                (HBM read-mod-write)
 
-    The dx accumulation rides the SAME query tiling and support band as the
-    forward — the grid is sequential, so read-modify-write DMA of the
-    band's dx rows is race-free, and a transposed (support-tiled) kernel —
-    whose per-k LANE slices of the neighbor rows blew the VMEM scope — is
-    unnecessary. Density denom is a COUNT: constant under differentiation,
-    exactly like the reference (torch.gt-derived, models/blocks.py:377-380).
+    gs arrives pre-scaled by the density denom (an XLA gather-sum over the
+    SAME neighbor lists — one pass instead of a second in-kernel selection
+    sweep). The dx accumulation rides the same query tiling and band
+    chunks as the forward; the grid is sequential, so the per-chunk
+    read-modify-write of dx rows is race-free. Density denom is a COUNT:
+    constant under differentiation, exactly like the reference
+    (torch.gt-derived, models/blocks.py:377-380).
     """
+    pd = bx_ref.dtype
     T = q_ref.shape[1]
     K = neighb_ref.shape[0]
-    BAND = band_ref.shape[0]
     KP = kp_ref.shape[1] // 3
-    pd = bx_ref.dtype    # panel dtype: f32 or bf16 MXU operands
     i = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[i], 8)  # see forward's note
-
-    cp1 = pltpu.make_async_copy(s_hbm.at[pl.ds(start, BAND), :], band_ref,
-                                sem.at[0])
-    cp2 = pltpu.make_async_copy(x_hbm.at[pl.ds(start, BAND), :], bx_ref,
-                                sem.at[1])
-    # read this band's current dx rows early (overlaps the compute below).
-    # NOTE: read through the OUTPUT ref — the zero-initialized input only
-    # seeds the buffer via aliasing (in interpret mode input and output
-    # copies are distinct; the output is seeded from the aliased input)
-    cp3 = pltpu.make_async_copy(dx_out.at[pl.ds(start, BAND), :], dxs_ref,
-                                sem.at[2])
-    cp1.start(); cp2.start(); cp3.start()
+    start = pl.multiple_of(starts_ref[i], 8)
+    n_act = jnp.clip(
+        (ends_ref[i] - start + CHUNK - 1) // CHUNK, 0, n_chunk_max)
 
     @pl.when(i == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    cp1.wait(); cp2.wait()
     extent = scal_ref[0, 0]
-
-    bidx = (jax.lax.broadcasted_iota(jnp.int32, (BAND, 1), 0) + start)
-    sel = jnp.zeros((BAND, T), jnp.float32)
-    for k in range(K):
-        sel = sel + (bidx == neighb_ref[k:k + 1, :]).astype(jnp.float32)
-
-    row_sum = jnp.sum(bx_ref[:], axis=1, keepdims=True,
-                      dtype=jnp.float32)
-    active = (row_sum > 0.0).astype(jnp.float32)
-    denom = jnp.maximum(jnp.sum(sel * active, axis=0), 1.0)   # [T]
-
-    gs = g_ref[:] / denom[:, None]                            # [T, Coutp]
-    gs_ref[:] = gs
-    gsb = gs.astype(pd)
-
     qx = q_ref[0:1, :]
     qy = q_ref[1:2, :]
     qz = q_ref[2:3, :]
-
     C = bx_ref.shape[1]
+    gs = gs_ref[:]
+    gsb = gs.astype(pd)
 
-    # dx accumulates IN dxs_ref (seeded by cp3 with the band's current HBM
-    # rows) — a separate fori carry would cost another [BAND, C] VMEM block
-    cp3.wait()
+    def chunk_body(cb, carry):
+        base = pl.multiple_of(start + cb * CHUNK, 8)
+        cp1 = pltpu.make_async_copy(s_hbm.at[pl.ds(base, CHUNK), :],
+                                    band_ref, sem.at[0])
+        cp2 = pltpu.make_async_copy(x_hbm.at[pl.ds(base, CHUNK), :],
+                                    bx_ref, sem.at[1])
+        # read this chunk's current dx rows (overlaps the sel compute)
+        cp3 = pltpu.make_async_copy(dx_out.at[pl.ds(base, CHUNK), :],
+                                    dxs_ref, sem.at[2])
+        cp1.start(); cp2.start(); cp3.start()
+        cp1.wait(); cp2.wait()
 
-    # fori_loop (not an unrolled python loop): Mosaic keeps every unrolled
-    # iteration's [BAND, T] temporaries live simultaneously, blowing the
-    # 16 MB VMEM scope; the loop caps the live set at one iteration.
-    # Relative coords are NOT hoisted: three persistent [BAND, T] panels
-    # (rx/ry/rz) alone exceed the scope at pool-band shapes — recompute
-    # each axis from the resident band_ref scratch instead.
-    def kp_body(kp, carry):
-        d = band_ref[:, 0:1] - (qx + kp_ref[0, 3 * kp + 0])
-        d2 = d * d
-        d = band_ref[:, 1:2] - (qy + kp_ref[0, 3 * kp + 1])
-        d2 = d2 + d * d
-        d = band_ref[:, 2:3] - (qz + kp_ref[0, 3 * kp + 2])
-        d2 = d2 + d * d
-        wb = (jnp.maximum(1.0 - jnp.sqrt(d2) / extent, 0.0)
-              * sel).astype(pd)                               # [BAND, T]
-        weighted = jax.lax.dot_general(
-            wb, bx_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, C] f32
-        dwkp = jax.lax.dot_general(
-            weighted.astype(pd), gsb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [C, Coutp]
-        dw_ref[pl.ds(kp * C, C), :] = dw_ref[pl.ds(kp * C, C), :] + dwkp
-        dwt = jax.lax.dot_general(
-            gsb, w_ref[pl.ds(kp * C, C), :], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, C] = (g/denom) @ W_kp^T
-        dxs_ref[:] = dxs_ref[:] + jax.lax.dot_general(
-            wb, dwt.astype(pd), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BAND, C]
+        bidx = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + base)
+        sel = jnp.zeros((CHUNK, T), jnp.float32)
+        for k in range(K):
+            sel = sel + (bidx == neighb_ref[k:k + 1, :]).astype(jnp.float32)
+
+        cp3.wait()
+        for kp in range(KP):
+            d = band_ref[:, 0:1] - (qx + kp_ref[0, 3 * kp + 0])
+            d2 = d * d
+            d = band_ref[:, 1:2] - (qy + kp_ref[0, 3 * kp + 1])
+            d2 = d2 + d * d
+            d = band_ref[:, 2:3] - (qz + kp_ref[0, 3 * kp + 2])
+            d2 = d2 + d * d
+            wb = (jnp.maximum(1.0 - jnp.sqrt(d2) / extent, 0.0)
+                  * sel).astype(pd)                           # [CHUNK, T]
+            weighted = jax.lax.dot_general(
+                wb, bx_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, C] f32
+            dwkp = jax.lax.dot_general(
+                weighted.astype(pd), gsb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [C, Coutp]
+            dw_ref[pl.ds(kp * C, C), :] = dw_ref[pl.ds(kp * C, C), :] + dwkp
+            dwt = jax.lax.dot_general(
+                gsb, w_ref[pl.ds(kp * C, C), :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, C] = gs @ W_kp^T
+            dxs_ref[:] = dxs_ref[:] + jax.lax.dot_general(
+                wb, dwt.astype(pd), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [CHUNK, C]
+
+        wb_cp = pltpu.make_async_copy(
+            dxs_ref, dx_out.at[pl.ds(base, CHUNK), :], sem.at[2])
+        wb_cp.start()
+        wb_cp.wait()  # the next chunk/tile may read overlapping rows
         return carry
 
-    jax.lax.fori_loop(0, KP, kp_body, jnp.int32(0))
-
-    wb = pltpu.make_async_copy(dxs_ref, dx_out.at[pl.ds(start, BAND), :],
-                               sem.at[2])
-    wb.start()
-    wb.wait()  # the next (sequential) tile may read overlapping rows
+    jax.lax.fori_loop(0, n_act, chunk_body, jnp.int32(0))
 
 
 def _bwd_call(q_packed, neighb_sorted, s_packed, x_sorted,
-              weights_flat, kp_flat, starts, extent, g_pad, dx_init,
+              weights_flat, kp_flat, starts, ends, extent, gs_pad, dx_init,
               *, band_cap, query_tile, interpret):
-    """(dW_flat [KP*C, Coutp], g_scaled [nq, Coutp], dx [Ns_pad, C]).
+    """(dW_flat [KP*C, Coutp], dx [Ns_pad, C]).
 
-    x_sorted / weights_flat arrive in the panel dtype (f32 or bf16); all
-    outputs are f32."""
+    x_sorted / weights_flat arrive in the panel dtype (f32 or bf16);
+    gs_pad is the denom-scaled cotangent; outputs are f32."""
     nq = q_packed.shape[1]
     n_tiles = nq // query_tile
     kpc, coutp = weights_flat.shape
@@ -367,17 +373,17 @@ def _bwd_call(q_packed, neighb_sorted, s_packed, x_sorted,
     ns_pad = s_packed.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, query_tile), lambda i, s: (0, i),
+            pl.BlockSpec((8, query_tile), lambda i, s, e: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((neighb_sorted.shape[0], query_tile),
-                         lambda i, s: (0, i), memory_space=pltpu.VMEM),
+                         lambda i, s, e: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((query_tile, coutp), lambda i, s: (i, 0),
+            pl.BlockSpec((query_tile, coutp), lambda i, s, e: (i, 0),
                          memory_space=pltpu.VMEM),
             # explicit HBM (not ANY): see the forward's note — ANY->VMEM
             # promotion breaks the dynamic-start band DMA
@@ -388,48 +394,45 @@ def _bwd_call(q_packed, neighb_sorted, s_packed, x_sorted,
         out_specs=[
             # constant index map: one VMEM block accumulated across the
             # sequential grid, written back once at the end
-            pl.BlockSpec((kpc, coutp), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((query_tile, coutp), lambda i, s: (i, 0),
+            pl.BlockSpec((kpc, coutp), lambda i, s, e: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((band_cap, 128), jnp.float32),
-            pltpu.VMEM((band_cap, c), pd),
-            pltpu.VMEM((band_cap, c), jnp.float32),
+            pltpu.VMEM((CHUNK, 128), jnp.float32),
+            pltpu.VMEM((CHUNK, c), pd),
+            pltpu.VMEM((CHUNK, c), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
-        _band_conv_bwd_kernel,
+        functools.partial(_band_conv_bwd_kernel, band_cap // CHUNK),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((kpc, coutp), jnp.float32),
-            jax.ShapeDtypeStruct((nq, coutp), jnp.float32),
             jax.ShapeDtypeStruct((ns_pad, c), jnp.float32),
         ],
-        # dx_init (input 9 incl. the scalar-prefetch arg) donates its buffer
-        # to the dx output (output 2): zero-initialized accumulation target
-        input_output_aliases={9: 2},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        # dx_init (input 10 incl. the two scalar-prefetch args) donates its
+        # buffer to the dx output (output 1): zero-initialized accumulation
+        # target
+        input_output_aliases={10: 1},
         interpret=interpret,
     )(
-        starts.astype(jnp.int32), q_packed, neighb_sorted.astype(jnp.int32),
+        starts.astype(jnp.int32), ends.astype(jnp.int32),
+        q_packed, neighb_sorted.astype(jnp.int32),
         kp_flat, weights_flat, jnp.full((1, 1), extent, jnp.float32),
-        g_pad, s_packed, x_sorted, dx_init,
+        gs_pad, s_packed, x_sorted, dx_init,
     )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def band_conv_ad(band_cap, query_tile, interpret, panel_dtype,
                  q_packed, neighb_sorted, s_packed, x_sorted,
-                 weights, kernel_points, starts, extent):
+                 weights, kernel_points, starts, extent, ends):
     """Differentiable band KPConv. Forward == :func:`band_conv`; backward
-    is ONE more query-tiled band kernel producing dW (revolving VMEM
-    accumulator), g/denom, and dx (sequential read-modify-write of the
-    band's rows in HBM — no scatter, no transposed pass).
+    is ONE more chunked query-tiled band kernel producing dW (revolving
+    VMEM accumulator) and dx (sequential read-modify-write of the chunk's
+    rows in HBM — no scatter, no transposed pass).
 
     Gradients flow to ``x_sorted`` and ``weights`` only; the density denom
     is a count (constant, as in the reference) and rigid kernel points are
@@ -438,7 +441,7 @@ def band_conv_ad(band_cap, query_tile, interpret, panel_dtype,
     """
     return band_conv(
         q_packed, neighb_sorted, s_packed, x_sorted, weights,
-        kernel_points, starts, extent,
+        kernel_points, starts, extent, ends,
         band_cap=band_cap, query_tile=query_tile, interpret=interpret,
         panel_dtype=panel_dtype,
     )
@@ -446,49 +449,61 @@ def band_conv_ad(band_cap, query_tile, interpret, panel_dtype,
 
 def _band_conv_ad_fwd(band_cap, query_tile, interpret, panel_dtype,
                       q_packed, neighb_sorted, s_packed,
-                      x_sorted, weights, kernel_points, starts, extent):
+                      x_sorted, weights, kernel_points, starts, extent,
+                      ends):
     out = band_conv_ad(
         band_cap, query_tile, interpret, panel_dtype,
         q_packed, neighb_sorted, s_packed, x_sorted, weights,
-        kernel_points, starts, extent,
+        kernel_points, starts, extent, ends,
     )
     res = (q_packed, neighb_sorted, s_packed, x_sorted, weights,
-           kernel_points, starts, extent)
+           kernel_points, starts, extent, ends)
     return out, res
 
 
 def _band_conv_ad_bwd(band_cap, query_tile, interpret, panel_dtype, res, g):
     (q_packed, neighb_sorted, s_packed, x_sorted, weights,
-     kernel_points, starts, extent) = res
+     kernel_points, starts, extent, ends) = res
     pd = jnp.bfloat16 if panel_dtype == "bfloat16" else jnp.float32
     starts = (starts.astype(jnp.int32) // 8) * 8  # same alignment as fwd
+    ends = _prep_ends(starts, ends, band_cap, s_packed.shape[0])
     kp_count, c0, cout0 = weights.shape
     c = c0 + ((-c0) % 128)
     coutp = cout0 + ((-cout0) % 128)
+
+    # density denom via one XLA gather-sum over the SAME lists the kernel
+    # selects from (positions; shadow -> a zero pad row): saves a second
+    # in-kernel selection sweep. Under band overflow the kernel's window
+    # truncation can drop list entries this count keeps — overflow is
+    # flagged upstream and those runs are degraded anyway.
+    ns_pad = s_packed.shape[0]
+    active = (jnp.sum(x_sorted.astype(jnp.float32), axis=1) > 0.0)
+    act_ext = jnp.concatenate(
+        [active, jnp.zeros((1,), bool)]).astype(jnp.float32)
+    pos = jnp.minimum(neighb_sorted.astype(jnp.int32), ns_pad)  # [K, Nq]
+    denom = jnp.maximum(jnp.sum(act_ext[pos], axis=0), 1.0)     # [Nq]
+    gs = g.astype(jnp.float32) / denom[:, None]
 
     w_flat = jnp.pad(
         weights.astype(pd),
         ((0, 0), (0, c - c0), (0, coutp - cout0)),
     ).reshape(kp_count * c, coutp)
     x_p = jnp.pad(x_sorted.astype(pd), ((0, 0), (0, c - c0)))
-    g_p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, coutp - cout0)))
+    gs_p = jnp.pad(gs, ((0, 0), (0, coutp - cout0)))
     kp_flat = kernel_points.astype(jnp.float32).reshape(1, -1)
-    dx_init = jnp.zeros((s_packed.shape[0], c), jnp.float32)
+    dx_init = jnp.zeros((ns_pad, c), jnp.float32)
 
-    # same query tile as the forward: a halved backward tile (tried for
-    # VMEM headroom) costs ~2x band DMA + half-size MXU panels — with the
-    # kernels' raised vmem_limit_bytes the full tile fits
-    dw_flat, _, dx_full = _bwd_call(
+    dw_flat, dx_full = _bwd_call(
         q_packed.astype(jnp.float32), neighb_sorted,
         s_packed.astype(jnp.float32), x_p, w_flat, kp_flat,
-        starts, extent, g_p, dx_init,
+        starts, ends, extent, gs_p, dx_init,
         band_cap=band_cap, query_tile=query_tile, interpret=interpret,
     )
     dweights = dw_flat.reshape(kp_count, c, coutp)[:, :c0, :cout0]
     dweights = dweights.astype(weights.dtype)
     dx = dx_full[:, :c0].astype(x_sorted.dtype)
 
-    return (None, None, None, dx, dweights, None, None, None)
+    return (None, None, None, dx, dweights, None, None, None, None)
 
 
 band_conv_ad.defvjp(_band_conv_ad_fwd, _band_conv_ad_bwd)

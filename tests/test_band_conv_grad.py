@@ -82,7 +82,7 @@ def test_band_conv_ad_grads_match_xla_kpconv():
             BAND, T, True, "float32",
             lvl.q_packed, neighb_sorted, lvl.s_packed,
             x_sorted, w_in, params.kernel_points, starts,
-            jnp.float32(extent),
+            jnp.float32(extent), None,
         )
         return jnp.sum(out_sorted[:cap] * cot)
 

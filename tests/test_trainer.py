@@ -87,3 +87,22 @@ def test_trainer_dp_runs(tmp_path):
     res = trainer.train_epoch(0)
     assert np.isfinite(res["loss"])
     assert res["skipped"] == 0.0
+
+
+def test_loader_propagates_worker_errors():
+    """A dataset error inside the producer thread must surface to the
+    consumer instead of leaving it blocked on the queue forever."""
+
+    class Boom:
+        def __len__(self):
+            return 4
+
+        def packed(self, index, *, point_capacity, corr_capacity):
+            raise ValueError("synthetic failure")
+
+    loader = PairLoader(
+        Boom(), point_capacity=64, corr_capacity=8, num_workers=2,
+        max_iter=2, seed=0,
+    )
+    with pytest.raises(ValueError, match="synthetic failure"):
+        list(loader)

@@ -70,7 +70,8 @@ def loss_band(x_in, w_in):
     out_sorted = band_conv_ad(
         BAND, T, False, "float32",
         lvl.q_packed, neighb_sorted, lvl.s_packed,
-        x_sorted, w_in, params.kernel_points, starts, jnp.float32(extent))
+        x_sorted, w_in, params.kernel_points, starts, jnp.float32(extent),
+        None)
     return jnp.sum(out_sorted[:cap] * cot)
 
 

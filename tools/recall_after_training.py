@@ -1,0 +1,134 @@
+"""Registration recall: trained snapshot vs fresh init on a held-out scene.
+
+The pretrained reference checkpoint is unreachable (no egress), so the
+training-works proof is an ablation on the same task the reference
+evaluates (test.py registration protocol): simulated depth-scan scenes
+with exact GT poses, descriptors from (a) our TRAINED snapshot and
+(b) the same architecture at init, through the identical registration
+pipeline. Training must improve inlier ratio / recall over init.
+
+Run after train_3dmatch.py --scan:
+  python tools/recall_after_training.py --snapshot runs/scan_r2/scan_r2
+Writes TRAIN_RECALL.json at the repo root.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# CPU: per-fragment exact capacities would force a fresh TPU tunnel
+# compile per fragment; the XLA-CPU path compiles in seconds
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from d3feat_tpu.config import D3FeatConfig, PyramidCaps  # noqa: E402
+from d3feat_tpu.data.pack import pack_single  # noqa: E402
+from d3feat_tpu.eval.registration import (  # noqa: E402
+    FragmentFeatures,
+    register_scene,
+)
+from d3feat_tpu.models import apply_kpfcnn, make_kpfcnn_specs  # noqa: E402
+from d3feat_tpu.ops import build_pyramid, make_pyramid_spec  # noqa: E402
+from d3feat_tpu.train.checkpoint import SnapshotManager  # noqa: E402
+from d3feat_tpu.train.step import init_train_state  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--snapshot", type=str, default="runs/scan_r2/scan_r2")
+    ap.add_argument("--name", type=str, default="model_best_loss")
+    ap.add_argument("--fragments", type=int, default=8)
+    ap.add_argument("--num_points", type=int, default=250)
+    ap.add_argument("--seed", type=int, default=424242)  # held-out scene
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from ab_recall import make_scene
+
+    with open(os.path.join(args.snapshot, "config.json")) as f:
+        cfg = D3FeatConfig.from_dict(json.load(f))
+
+    ts, specs = init_train_state(jax.random.key(cfg.seed), cfg)
+    mgr = SnapshotManager(args.snapshot)
+    trained, meta = mgr.restore(args.name, ts)
+    print("loaded", args.name, "meta:", meta)
+
+    rng = np.random.default_rng(args.seed)
+    frags, poses, overlaps = make_scene(rng, args.fragments, (120, 90))
+    print(f"scene: {len(frags)} fragments ({[len(f) for f in frags]})")
+
+    results = {}
+    for tag, params, model_state in (
+        ("init", ts.params, ts.model_state),
+        ("trained", trained.params, trained.model_state),
+    ):
+        feats = FragmentFeatures()
+        for i, pts in enumerate(frags):
+            n = len(pts)
+            c = D3FeatConfig.from_dict(cfg.to_dict())
+            caps = [n]
+            m = n
+            for _ in range(c.num_layers - 1):
+                m = max(64, m // 2)
+                caps.append(m)
+            c.caps = PyramidCaps(points=tuple(caps),
+                                 neighbors=(40,) * c.num_layers, corr=64)
+            c.query_tile = 256
+            batch = pack_single(pts, np.ones((n, 1), np.float32),
+                                point_capacity=n)
+            spec = make_pyramid_spec(c, num_clouds=2)
+            pyr = dict(build_pyramid(jnp.asarray(batch["points"]),
+                                     jnp.asarray(batch["lengths"]),
+                                     spec=spec))
+            if bool(pyr["overflow"]):
+                print(f"  fragment {i}: overflow (caps {caps}) — skipping "
+                      "run", file=sys.stderr)
+            if pyr.get("band"):
+                order0 = pyr["band"][0]["order"]
+                pyr["features"] = jnp.asarray(batch["features"])[order0]
+            else:
+                pyr["features"] = jnp.asarray(batch["features"])
+            out, _, _ = apply_kpfcnn(params, model_state, pyr, c,
+                                     specs, train=False)
+            feats_i = np.asarray(out.features)
+            scores_i = np.asarray(out.scores)
+            if pyr.get("band"):
+                inv0 = np.asarray(pyr["band"][0]["inv"])
+                feats_i = feats_i[inv0]
+                scores_i = scores_i[inv0]
+            feats.add(i, pts, feats_i[:n], scores_i[:n, 0])
+        res = register_scene(feats, poses, scene=f"after-train-{tag}",
+                             num_points=args.num_points)
+        results[tag] = {
+            "recall": res.recall,
+            "avg_inlier_ratio": res.avg_inlier_ratio,
+        }
+        print(tag, results[tag])
+
+    out = {
+        "gt_pairs": len(poses),
+        "snapshot": os.path.join(args.snapshot, args.name),
+        "epochs_meta": meta,
+        **{f"{k}_{t}": v for t, r in results.items() for k, v in r.items()},
+        "inlier_ratio_gain":
+            results["trained"]["avg_inlier_ratio"]
+            - results["init"]["avg_inlier_ratio"],
+    }
+    print(json.dumps(out, indent=2, default=str))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "TRAIN_RECALL.json"), "w") as f:
+        json.dump(out, f, indent=2, default=str)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
