@@ -378,13 +378,14 @@ def radius_neighbors_pallas(
     kmax = jnp.max(jnp.where(tvalid, tiles, jnp.float32(-3.0e37)), axis=1)
     starts = jnp.searchsorted(sk, kmin - r - keps).astype(jnp.int32)
     ends = jnp.searchsorted(sk, kmax + r + keps).astype(jnp.int32)
+    # 8-floor to match the kernel's aligned DMA; widens downward only
+    starts = jnp.minimum((starts // 8) * 8, ns)
     overflow = jnp.any((ends - starts) > band_cap)
-    starts = jnp.minimum(starts, ns)  # slice stays within ss_pad
 
     pos = band_select(
         pack_queries(qs_p, qcid_p),
         pack_supports(ss_pad, scid_pad),
-        starts, r * r,
+        starts, r * r, ends,
         max_k=min(max_k, band_cap), band_cap=band_cap,
         query_tile=query_tile, interpret=interpret,
     )
@@ -563,7 +564,7 @@ def radius_neighbors_sorted(
     overflow = jnp.any((ends - starts) > band_cap)
 
     pos = band_select(
-        q_packed, s_level.s_packed, starts, r * r,
+        q_packed, s_level.s_packed, starts, r * r, ends,
         max_k=min(max_k, band_cap), band_cap=band_cap,
         query_tile=query_tile, interpret=interpret,
     )

@@ -45,12 +45,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 256  # band chunk rows; every band_cap is a multiple (level_band_cap
-# rounds to 256), so chunked DMA never overruns the level's band padding
+def _pick_chunk(band_cap: int) -> int:
+    """Largest standard chunk dividing the cap (single chunk otherwise)."""
+    for c in (256, 128, 64):
+        if band_cap % c == 0:
+            return c
+    return band_cap
+
+
+CHUNK = 256  # preferred band chunk rows; level_band_cap rounds caps to 256,
+# so chunked DMA never overruns the level's band padding
 
 
 def _band_conv_kernel(
-    n_chunk_max,         # python int: band_cap // CHUNK
+    n_chunk_max,         # python int: band_cap // chunk
+    CHUNK,               # python int: chunk rows
     starts_ref,          # [n_tiles] i32 scalar prefetch (8-aligned)
     ends_ref,            # [n_tiles] i32 scalar prefetch: band end per tile
     q_ref,               # [8, T] f32 (x, y, z, cid)
@@ -190,7 +199,7 @@ def band_conv(
     nq = q_packed.shape[1]
     n_tiles = nq // query_tile
     assert n_tiles * query_tile == nq
-    assert band_cap % CHUNK == 0, "band_cap must be a CHUNK multiple"
+    chunk = _pick_chunk(band_cap)
     kp_count, c, cout = weights.shape
     # pad Cin to a lane multiple (128): narrow feature rows can't be DMA'd
     # and weight-row slices must be tile-aligned
@@ -223,15 +232,15 @@ def band_conv(
         out_specs=pl.BlockSpec((query_tile, cout), lambda i, s, e: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, 128), jnp.float32),
-            pltpu.VMEM((CHUNK, c), pd),
+            pltpu.VMEM((chunk, 128), jnp.float32),
+            pltpu.VMEM((chunk, c), pd),
             pltpu.VMEM((query_tile, cout), jnp.float32),
             pltpu.VMEM((8, query_tile), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_band_conv_kernel, band_cap // CHUNK),
+        functools.partial(_band_conv_kernel, band_cap // chunk, chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nq, cout), jnp.float32),
         interpret=interpret,
@@ -254,7 +263,8 @@ def band_conv(
 
 
 def _band_conv_bwd_kernel(
-    n_chunk_max,         # python int: band_cap // CHUNK
+    n_chunk_max,         # python int: band_cap // chunk
+    CHUNK,               # python int: chunk rows
     starts_ref,          # [n_tiles] i32 scalar prefetch (8-aligned)
     ends_ref,            # [n_tiles] i32 scalar prefetch
     q_ref,               # [8, T] f32
@@ -371,6 +381,7 @@ def _bwd_call(q_packed, neighb_sorted, s_packed, x_sorted,
     c = x_sorted.shape[1]
     pd = x_sorted.dtype
     ns_pad = s_packed.shape[0]
+    chunk = _pick_chunk(band_cap)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -399,14 +410,14 @@ def _bwd_call(q_packed, neighb_sorted, s_packed, x_sorted,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, 128), jnp.float32),
-            pltpu.VMEM((CHUNK, c), pd),
-            pltpu.VMEM((CHUNK, c), jnp.float32),
+            pltpu.VMEM((chunk, 128), jnp.float32),
+            pltpu.VMEM((chunk, c), pd),
+            pltpu.VMEM((chunk, c), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_band_conv_bwd_kernel, band_cap // CHUNK),
+        functools.partial(_band_conv_bwd_kernel, band_cap // chunk, chunk),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((kpc, coutp), jnp.float32),

@@ -2,30 +2,42 @@
 
 The hot op of the on-device pyramid is the radius search. The XLA banded
 path materializes a [tile, band] squared-distance panel in HBM and runs
-``lax.top_k`` + re-rank over it; this kernel keeps the whole panel in VMEM
-and never touches HBM with it:
+``lax.top_k`` + re-rank over it; this kernel keeps everything in VMEM and
+never touches HBM with it:
 
-  per query tile (grid step):
-    1. DMA the tile's support band — contiguous rows of the key-sorted,
-       lane-packed support array (x, y, z, cloud-id in lanes 0-3 of a
-       128-wide row), start row scalar-prefetched — HBM -> VMEM;
-    2. exact elementwise squared distances, TRANSPOSED [BAND, T] so band
+  per query tile (grid step), per 256-row band CHUNK (fori_loop bounded by
+  the tile's ACTUAL band occupancy from the per-tile ``ends``):
+    1. DMA the chunk — contiguous rows of the key-sorted, lane-packed
+       support array (x, y, z, cloud-id in lanes 0-3 of a 128-wide row),
+       start row scalar-prefetched — HBM -> VMEM;
+    2. exact elementwise squared distances, TRANSPOSED [CHUNK, T] so band
        coordinates stay on the sublane axis (no in-kernel relayouts;
        matches the reference's nanoflann arithmetic) with cross-cloud /
        out-of-radius entries masked to +inf;
-    3. k argmin-extraction sweeps entirely in VMEM: each sweep reduces the
-       panel over the band axis, emits the winning global band position
-       into the [K, T] output (iota-select, never a dynamic store), and
-       masks the winner out. Ascending-by-distance order falls out for
-       free (load-bearing downstream: closest_pool reads column 0,
-       reference models/blocks.py:79-91).
+    3. argmin-extraction sweeps (bounded by the chunk's own max candidate
+       count): each sweep extracts the chunk minimum per query and
+       SHIFT-INSERTS it into a running ascending [K, T] top-K carry —
+       static row slices and selects only, never a dynamic store.
+
+  Chunks arrive in ascending position order and sweeps extract equal
+  distances in ascending position order; the strict-compare insertion
+  preserves that order, so the output is EXACTLY the reference's
+  (distance-ascending, ties by position — load-bearing downstream:
+  closest_pool reads column 0, reference models/blocks.py:79-91).
+
+Work therefore scales with the tile's actual band occupancy and actual
+candidate counts, not the static worst-case cap. Rows past ``ends`` are
+out of radius for every query in the tile by the key-window bound, so
+``ends`` gates work, never correctness.
 
 Mosaic constraints found empirically on TPU v5e and honored here:
   * dynamic-offset DMA works on the ROW (sublane) axis of >=128-lane
     arrays; lane-axis dynamic DMA and narrow (<128-lane) rows crash the
     compiler — hence the 128-lane packed support layout;
   * dynamic-lane stores (``out_ref[:, j] =``) crash — output rides the
-    fori_loop carry and is written once.
+    fori_loop carry and is written once;
+  * dynamic band DMA starts must be provably 8-aligned (callers floor
+    starts; ``pl.multiple_of`` carries the proof).
 
 Outputs GLOBAL positions into the sorted support array (empty = Ns_pad-1);
 the caller translates positions -> original indices with one vectorized
@@ -43,76 +55,112 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INF = 3.0e38  # python float: jnp scalars would be captured consts
 
+def _pick_chunk(band_cap: int) -> int:
+    """Largest standard chunk dividing the cap (single chunk otherwise)."""
+    for c in (256, 128, 64):
+        if band_cap % c == 0:
+            return c
+    return band_cap
+
+
+CHUNK = 256  # preferred band chunk rows (level_band_cap rounds caps to 256)
+
 
 def _select_kernel(
+    n_chunk_max,           # python int: band_cap // chunk
+    CHUNK,                 # python int: chunk rows
     # scalar prefetch
-    starts_ref,            # [n_tiles] int32 band start rows
+    starts_ref,            # [n_tiles] int32 band start rows (8-aligned)
+    ends_ref,              # [n_tiles] int32 band end rows
     # inputs
     q_ref,                 # [8, T] f32: sublanes x, y, z, cid (VMEM block)
     r2_ref,                # [1, 1] f32 squared radius (SMEM)
-    s_hbm,                 # [Ns_pad, 128] f32 packed sorted supports (ANY)
+    s_hbm,                 # [Ns_pad, 128] f32 packed sorted supports (HBM)
     # outputs
     out_ref,               # [K, T] int32 global band positions (VMEM)
     # scratch
-    band_ref,              # [BAND, 128] f32
+    band_ref,              # [CHUNK, 128] f32
     sem,                   # DMA semaphore
 ):
     K, T = out_ref.shape
-    BAND = band_ref.shape[0]
     i = pl.program_id(0)
-    start = starts_ref[i]
-
-    cp = pltpu.make_async_copy(
-        s_hbm.at[pl.ds(start, BAND), :], band_ref, sem)
-    cp.start()
-    cp.wait()
+    start = pl.multiple_of(starts_ref[i], 8)
+    n_act = jnp.clip(
+        (ends_ref[i] - start + CHUNK - 1) // CHUNK, 0, n_chunk_max)
 
     qx = q_ref[0:1, :]                 # [1, T]
     qy = q_ref[1:2, :]
     qz = q_ref[2:3, :]
     qcid = q_ref[3:4, :]
+    r2 = r2_ref[0, 0]
 
-    bx = band_ref[:, 0:1]              # [BAND, 1]
-    by = band_ref[:, 1:2]
-    bz = band_ref[:, 2:3]
-    bcid = band_ref[:, 3:4]
-
-    # accumulate one axis at a time: three simultaneous [BAND, T] diff
-    # temporaries would triple the peak VMEM footprint
-    d = bx - qx                        # [BAND, T]
-    d2 = d * d
-    d = by - qy
-    d2 = d2 + d * d
-    d = bz - qz
-    d2 = d2 + d * d
-
-    ok = (bcid == qcid) & (d2 <= r2_ref[0, 0])
-    d2 = jnp.where(ok, d2, _INF)
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (BAND, T), 0)
-    krow = jax.lax.broadcasted_iota(jnp.int32, (K, T), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, T), 0)
     empty = jnp.int32(s_hbm.shape[0] - 1)
 
-    def sweep(j, carry):
-        d2, out = carry
-        m = jnp.min(d2, axis=0, keepdims=True)               # [1, T]
-        is_min = (d2 == m) & (m < _INF)
-        pos = jnp.min(jnp.where(is_min, row, BAND), axis=0)  # [T]
-        val = jnp.where(pos < BAND, pos + start, empty)
-        out = jnp.where(krow == j, val[None, :], out)
-        d2 = jnp.where(row == pos[None, :], _INF, d2)
-        return d2, out
+    def chunk_body(cb, carry):
+        dtop, ptop = carry
+        base = pl.multiple_of(start + cb * CHUNK, 8)
+        cp = pltpu.make_async_copy(
+            s_hbm.at[pl.ds(base, CHUNK), :], band_ref, sem)
+        cp.start()
+        cp.wait()
 
-    # dynamic sweep bound: no query in this tile has more in-band
-    # neighbors than the tile-wide max count, so later sweeps would only
-    # emit empties (which the init already provides)
-    k_dyn = jnp.minimum(
-        jnp.max(jnp.sum(ok.astype(jnp.int32), axis=0)), jnp.int32(K)
+        # accumulate one axis at a time: three simultaneous [CHUNK, T]
+        # diff temporaries would triple the peak VMEM footprint
+        d = band_ref[:, 0:1] - qx      # [CHUNK, T]
+        d2 = d * d
+        d = band_ref[:, 1:2] - qy
+        d2 = d2 + d * d
+        d = band_ref[:, 2:3] - qz
+        d2 = d2 + d * d
+        ok = (band_ref[:, 3:4] == qcid) & (d2 <= r2)
+        d2 = jnp.where(ok, d2, _INF)
+
+        # sweep bound: no query has more candidates in this chunk than the
+        # chunk-wide max count; later sweeps would only extract +inf
+        k_dyn = jnp.minimum(
+            jnp.max(jnp.sum(ok.astype(jnp.int32), axis=0)), jnp.int32(K))
+
+        def sweep(j, c):
+            d2c, dtop, ptop = c
+            m = jnp.min(d2c, axis=0, keepdims=True)            # [1, T]
+            is_min = (d2c == m) & (m < _INF)
+            pos = jnp.min(jnp.where(is_min, row, CHUNK), axis=0)  # [T]
+            vpos = jnp.where(pos < CHUNK, pos + base, empty)
+            d2c = jnp.where(row == pos[None, :], _INF, d2c)
+
+            # shift-insert (m, vpos) into the ascending top-K: v lands at
+            # the first row with d > v (strict: equals keep arrival order),
+            # rows below it shift down by one — selects + static slices,
+            # no dynamic stores
+            if K == 1:  # degenerate (upsample searches): plain min
+                lt = m < dtop
+                new_d = jnp.where(lt, m, dtop)
+                new_p = jnp.where(lt, vpos[None, :], ptop)
+                return d2c, new_d, new_p
+            d_prev = jnp.concatenate(
+                [jnp.full((1, T), -_INF, jnp.float32), dtop[: K - 1]],
+                axis=0)
+            p_prev = jnp.concatenate(
+                [jnp.full((1, T), empty, jnp.int32), ptop[: K - 1]],
+                axis=0)
+            lt = m < dtop                                      # [K, T]
+            at = lt & (m >= d_prev)
+            new_d = jnp.where(lt, jnp.where(at, m, d_prev), dtop)
+            new_p = jnp.where(
+                lt, jnp.where(at, vpos[None, :], p_prev), ptop)
+            return d2c, new_d, new_p
+
+        _, dtop, ptop = jax.lax.fori_loop(
+            0, k_dyn, sweep, (d2, dtop, ptop))
+        return dtop, ptop
+
+    _, ptop = jax.lax.fori_loop(
+        0, n_act, chunk_body,
+        (jnp.full((K, T), _INF, jnp.float32),
+         jnp.full((K, T), empty, jnp.int32)),
     )
-    _, out = jax.lax.fori_loop(
-        0, k_dyn, sweep, (d2, jnp.full((K, T), empty, jnp.int32))
-    )
-    out_ref[:] = out
+    out_ref[:] = ptop
 
 
 @functools.partial(
@@ -123,6 +171,7 @@ def band_select(
     s_packed: jax.Array,    # [Ns_pad, 128] f32: lanes 0-3 = x, y, z, cid
     starts: jax.Array,      # [n_tiles] int32 band start row per tile
     r2: jax.Array,          # [] f32
+    ends: jax.Array | None = None,  # [n_tiles] int32 actual band ends
     *,
     max_k: int,
     band_cap: int,
@@ -135,30 +184,40 @@ def band_select(
     nq = q_packed.shape[1]
     n_tiles = nq // query_tile
     assert n_tiles * query_tile == nq
+    chunk = _pick_chunk(band_cap)
+    starts = (starts.astype(jnp.int32) // 8) * 8
+    if ends is None:
+        ends = starts + jnp.int32(band_cap)
+    else:
+        ends = jnp.clip(ends.astype(jnp.int32), starts,
+                        starts + jnp.int32(band_cap))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, query_tile), lambda i, s: (0, i),
+            pl.BlockSpec((8, query_tile), lambda i, s, e: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # explicit HBM: ANY->VMEM promotion of small levels breaks the
+            # dynamic-start band DMA (see ops/pallas/band_conv)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((max_k, query_tile), lambda i, s: (0, i),
+        out_specs=pl.BlockSpec((max_k, query_tile), lambda i, s, e: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((band_cap, 128), jnp.float32),
+            pltpu.VMEM((chunk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
-        _select_kernel,
+        functools.partial(_select_kernel, band_cap // chunk, chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((max_k, nq), jnp.int32),
         interpret=interpret,
     )(
         starts.astype(jnp.int32),
+        ends.astype(jnp.int32),
         q_packed.astype(jnp.float32),
         jnp.full((1, 1), r2, jnp.float32),
         s_packed.astype(jnp.float32),
