@@ -42,8 +42,11 @@ WARMUP = 3
 ITERS = 20
 
 
-FRAGS_PER_CALL = 1    # measured: batching fragments does NOT help (ops are
-# already large and bandwidth-bound; 4-frag batching was 18% slower per fragment)
+# fragments per jitted call (overridable for experiments): with the
+# chunked kernels the per-call fusion tail dominates, so batching two
+# fragments through the shared cloud axis amortizes it (measured: B=2
+# 53.8 fr/s vs B=1 51.2 vs B=4 52.5)
+FRAGS_PER_CALL = int(os.environ.get("BENCH_FRAGS_PER_CALL", "2"))
 
 
 def main():

@@ -79,9 +79,15 @@ def level_band_cap(rows: int, num_clouds: int, band_frac: float,
     searches. (Round 1 sized every band with ratio 1, silently truncating
     pool neighborhoods at realistic shapes.)"""
     eff = 1 if ratio <= 1 else 4 * ratio
-    return min(rows, _round_up_256(
+    # 2048-row floor: the conv radius DOUBLES per level while rows shrink
+    # 3-4x, so at deep levels the key window spans a large fraction of the
+    # cloud and the frac model underestimates (measured: conv3 overflow on
+    # ~1% of scan pairs). Since the chunked kernels' work rides the
+    # per-tile actual ends — not the static cap — a generous cap only
+    # widens the skip headroom; deep levels simply get the whole level.
+    return min(rows, max(2048, _round_up_256(
         tile * eff + int(2 * band_frac * rows / num_clouds)
-    ))
+    )))
 
 
 def make_pyramid_spec(config, num_clouds: int = 2) -> PyramidSpec:
@@ -168,6 +174,7 @@ def build_pyramid(
     out["band"] = {}  # per-level sorted state for fused band kernels
     pts, lens = points.astype(jnp.float32), lengths.astype(jnp.int32)
     overflow = jnp.zeros((), bool)
+    overflow_by = {}  # per-source flags (same info, diagnosable)
 
     want_pallas = spec.search == "pallas" and jax.default_backend() == "tpu"
     want_band = want_pallas or spec.force_band_export
@@ -226,7 +233,7 @@ def build_pyramid(
         ])
         return ext_inv[jnp.minimum(idx_orig, lv_s.n)][lv_q.order]
 
-    def search(q, s, ql, sl, r, k, q_level, s_level):
+    def search(q, s, ql, sl, r, k, q_level, s_level, name):
         nonlocal overflow
         ratio = -(-s.shape[0] // q.shape[0])  # >= 1 only for pool searches
         tile = min(spec.query_tile, q.shape[0])
@@ -250,6 +257,7 @@ def build_pyramid(
                 raw_positions=True,
             )
             overflow = overflow | ov
+            overflow_by[name] = ov
             return idx
         if (spec.search == "banded" or
                 (spec.search == "pallas" and not want_pallas)) \
@@ -266,12 +274,14 @@ def build_pyramid(
                 query_tile=tile, band_cap=band,
             )
             overflow = overflow | ov
+            overflow_by[name] = ov
         elif spec.search == "grid":
             idx, ov = radius_neighbors_grid(
                 q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
                 query_tile=tile, cell_capacity=spec.cell_capacity,
             )
             overflow = overflow | ov
+            overflow_by[name] = ov
         else:
             idx = radius_neighbors(
                 q, s, ql, sl, r, max_k=k, num_clouds=spec.num_clouds,
@@ -309,7 +319,7 @@ def build_pyramid(
         export_level(l, pts, lens)
         out["neighbors"].append(
             search(pts, pts, lens, lens, r * spec.conv_r_scale[l],
-                   spec.neighbor_caps[l], l, l)
+                   spec.neighbor_caps[l], l, l, f"conv{l}")
         )
         if l + 1 < L:
             sub = voxel_subsample(
@@ -324,15 +334,17 @@ def build_pyramid(
                 occupancy_cap=64 if l == 0 else 32,
             )
             overflow = overflow | sub.overflow
+            overflow_by[f"sub{l}"] = sub.overflow
             out["pools"].append(
                 search(sub.points, pts, sub.lengths, lens,
                        r * spec.pool_r_scale[l], spec.neighbor_caps[l],
-                       l + 1, l)
+                       l + 1, l, f"pool{l}")
             )
             out["upsamples"].append(
                 search(pts, sub.points, lens, sub.lengths, 2.0 * r, 1,
-                       l, l + 1)
+                       l, l + 1, f"up{l}")
             )
             pts, lens = sub.points, sub.lengths
     out["overflow"] = overflow
+    out["overflow_by"] = overflow_by
     return out
