@@ -128,6 +128,13 @@ def main():
     ap.add_argument("--first_features_dim", type=int, default=128)
     ap.add_argument("--num_points", type=int, default=250)
     ap.add_argument("--seed", type=int, default=0)
+    # TRAINED mode: load one of OUR snapshots, export it to the reference
+    # torch layout (compat.torch_export), and run the A/B with trained
+    # weights — a non-vacuous recall equality (random-init descriptors
+    # register nothing, so the init A/B only proves descriptor equality)
+    ap.add_argument("--snapshot", type=str, default=None,
+                    help="our snapshot dir (e.g. runs/scan_long/scan_long)")
+    ap.add_argument("--snapshot_name", type=str, default="model_best_loss")
     args = ap.parse_args()
 
     sys.path.insert(0, REF)
@@ -164,11 +171,35 @@ def main():
         cfg.query_tile = 256
 
         if ref_model is None:
-            torch.manual_seed(args.seed)
-            ref_model = RefKPFCNN(ref_config_ns(cfg)).eval()
             specs = make_kpfcnn_specs(cfg)
-            params, model_state = convert_state_dict(
-                ref_model.state_dict(), cfg, specs, strict=True)
+            if args.snapshot:
+                from d3feat_tpu.compat.torch_export import export_state_dict
+                from d3feat_tpu.train.checkpoint import SnapshotManager
+                from d3feat_tpu.train.step import init_train_state
+                import json as _json
+
+                with open(os.path.join(args.snapshot, "config.json")) as fh:
+                    tcfg = D3FeatConfig.from_dict(_json.load(fh))
+                ts, _ = init_train_state(jax.random.key(tcfg.seed), tcfg)
+                trained, meta = SnapshotManager(args.snapshot).restore(
+                    args.snapshot_name, ts)
+                print("trained snapshot:", meta)
+                params, model_state = trained.params, trained.model_state
+                sd = {
+                    k: torch.from_numpy(np.asarray(v).copy())
+                    if getattr(v, "dtype", None) != np.int64
+                    else torch.tensor(int(v))
+                    for k, v in export_state_dict(
+                        params, model_state, tcfg).items()
+                }
+                ref_model = RefKPFCNN(ref_config_ns(cfg)).eval()
+                miss, unexp = ref_model.load_state_dict(sd, strict=False)
+                assert not miss and not unexp, (miss[:4], unexp[:4])
+            else:
+                torch.manual_seed(args.seed)
+                ref_model = RefKPFCNN(ref_config_ns(cfg)).eval()
+                params, model_state = convert_state_dict(
+                    ref_model.state_dict(), cfg, specs, strict=True)
 
         batch = pack_single(pts, np.ones((n, 1), np.float32),
                             point_capacity=n)
@@ -202,11 +233,14 @@ def main():
         "inlier_ratio_ref": res_ref.avg_inlier_ratio,
         "abs_recall_gap": abs(res_ours.recall - res_ref.recall),
         "target_gap": 0.5,
-        "weights": "shared init (pretrained .pth unavailable: no egress)",
+        "weights": (f"TPU-trained snapshot {args.snapshot} exported to torch"
+                    if args.snapshot else
+                    "shared init (pretrained .pth unavailable: no egress)"),
     }
     print(json.dumps(out, indent=2))
+    out_name = "AB_RECALL_TRAINED.json" if args.snapshot else "AB_RECALL.json"
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "AB_RECALL.json"), "w") as f:
+            os.path.abspath(__file__))), out_name), "w") as f:
         json.dump(out, f, indent=2)
     return 0 if out["abs_recall_gap"] <= 0.5 else 1
 

@@ -108,9 +108,34 @@ def main():
             feats.add(i, pts, feats_i[:n], scores_i[:n, 0])
         res = register_scene(feats, poses, scene=f"after-train-{tag}",
                              num_points=args.num_points)
+        # descriptor accuracy on exact GT correspondences (the trainer's
+        # accuracy semantic, reference trainer.py:140-195): anchor matched
+        # to its true counterpart iff the positive descriptor is its 1-NN
+        # among all sampled candidates of the other fragment
+        from scipy.spatial import cKDTree
+
+        accs = []
+        rngm = np.random.default_rng(7)
+        for key, pose in poses.items():
+            i1, i2 = (int(v) for v in key.split("_"))
+            p1 = frags[i1] @ pose[:3, :3].T + pose[:3, 3]
+            tree = cKDTree(frags[i2])
+            dist, j = tree.query(p1, k=1, distance_upper_bound=0.0375)
+            ii = np.nonzero(np.isfinite(dist))[0]
+            if len(ii) < 16:
+                continue
+            sel = rngm.choice(len(ii), min(256, len(ii)), replace=False)
+            a = feats.descriptors[i1][ii[sel]]
+            b_all = feats.descriptors[i2]
+            pos_idx = j[ii[sel]]
+            d = np.linalg.norm(a[:, None] - b_all[pos_idx][None], axis=-1)
+            # 1-NN among the sampled positives (matched-pair accuracy)
+            accs.append(float(np.mean(np.argmin(d, axis=1)
+                                      == np.arange(len(sel)))))
         results[tag] = {
             "recall": res.recall,
             "avg_inlier_ratio": res.avg_inlier_ratio,
+            "gt_match_accuracy": float(np.mean(accs)) if accs else 0.0,
         }
         print(tag, results[tag])
 
@@ -122,6 +147,9 @@ def main():
         "inlier_ratio_gain":
             results["trained"]["avg_inlier_ratio"]
             - results["init"]["avg_inlier_ratio"],
+        "gt_match_accuracy_gain":
+            results["trained"]["gt_match_accuracy"]
+            - results["init"]["gt_match_accuracy"],
     }
     print(json.dumps(out, indent=2, default=str))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
