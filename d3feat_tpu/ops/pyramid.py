@@ -246,8 +246,10 @@ def build_pyramid(
         # overhead per search (measured) — at small levels the band is
         # simply (nearly) the whole level and stays exact
         if want_pallas:
-            qt = 128 if ratio > 1 else min(256, s.shape[0])  # pool bands
-            # are wide: smaller tiles keep [band, tile] inside VMEM
+            # pool bands are wide: smaller tiles bound [band, tile] panels.
+            # Tiles must be 128-lane multiples (Mosaic block divisibility);
+            # tiny eval buckets would otherwise yield e.g. 96-wide tiles.
+            qt = 128 if (ratio > 1 or s.shape[0] < 256) else 256
             idx, ov = radius_neighbors_sorted(
                 sorted_level(q_level, q, ql), sorted_level(s_level, s, sl),
                 r, max_k=k, query_tile=qt,
