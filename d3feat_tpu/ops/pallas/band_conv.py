@@ -71,10 +71,12 @@ def _band_conv_kernel(
     s_hbm,               # [Ns_pad, 128] f32 packed coords
     x_hbm,               # [Ns_pad, C] panel-dtype sorted features
     out_ref,             # [T, Cout] f32
+    den_ref,             # [8, T] f32 OUT — row 0 = clamped density denom
+                         #   (saved by the custom VJP: the backward scales
+                         #   the cotangent by it, no gathers)
     band_ref,            # [CHUNK, 128] f32 scratch
     bx_ref,              # [CHUNK, C] panel-dtype scratch
     acc_ref,             # [T, Cout] f32 scratch accumulator
-    den_ref,             # [8, T] f32 scratch (row 0 = density count)
     sem,                 # DMA semaphores (2,)
 ):
     # panel dtype (f32 or bf16) is carried by the feature/weight operands;
@@ -153,6 +155,7 @@ def _band_conv_kernel(
 
     jax.lax.fori_loop(0, n_act, chunk_body, jnp.int32(0))
     den = jnp.maximum(den_ref[0:1, :].reshape((T,)), 1.0)
+    den_ref[0:1, :] = den[None, :]
     out_ref[:] = acc_ref[:] / den[:, None]
 
 
@@ -183,9 +186,12 @@ def band_conv(
     query_tile: int,
     interpret: bool = False,
     panel_dtype: str = "float32",
-) -> jax.Array:
-    """[Nq_pad, Cout] KPConv outputs for sorted-order queries (linear
-    influence, sum aggregation).
+):
+    """(out [Nq_pad, Cout] f32, den [8, Nq_pad] f32 with row 0 = clamped
+    density denom) for sorted-order queries (linear influence, sum
+    aggregation). The denom output costs nothing (the kernel computes it
+    anyway) and lets the custom VJP scale the cotangent WITHOUT the
+    XLA gather-sum that used to cost ~6 ms/layer in the backward.
 
     ``ends`` bounds each tile's chunk loop to its actual band occupancy
     (pure work gating — see module docstring). ``panel_dtype='bfloat16'``
@@ -229,20 +235,26 @@ def band_conv(
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((query_tile, cout), lambda i, s, e: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((query_tile, cout), lambda i, s, e: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, query_tile), lambda i, s, e: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((chunk, 128), jnp.float32),
             pltpu.VMEM((chunk, c), pd),
             pltpu.VMEM((query_tile, cout), jnp.float32),
-            pltpu.VMEM((8, query_tile), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         functools.partial(_band_conv_kernel, band_cap // chunk, chunk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nq, cout), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, cout), jnp.float32),
+            jax.ShapeDtypeStruct((8, nq), jnp.float32),
+        ],
         interpret=interpret,
     )(
         starts.astype(jnp.int32),
@@ -450,31 +462,33 @@ def band_conv_ad(band_cap, query_tile, interpret, panel_dtype,
     buffers. Gradient coverage matches the forward's band window — pairs
     dropped by band overflow (flagged upstream) are absent from both.
     """
-    return band_conv(
+    out, _ = band_conv(
         q_packed, neighb_sorted, s_packed, x_sorted, weights,
         kernel_points, starts, extent, ends,
         band_cap=band_cap, query_tile=query_tile, interpret=interpret,
         panel_dtype=panel_dtype,
     )
+    return out
 
 
 def _band_conv_ad_fwd(band_cap, query_tile, interpret, panel_dtype,
                       q_packed, neighb_sorted, s_packed,
                       x_sorted, weights, kernel_points, starts, extent,
                       ends):
-    out = band_conv_ad(
-        band_cap, query_tile, interpret, panel_dtype,
+    out, den = band_conv(
         q_packed, neighb_sorted, s_packed, x_sorted, weights,
         kernel_points, starts, extent, ends,
+        band_cap=band_cap, query_tile=query_tile, interpret=interpret,
+        panel_dtype=panel_dtype,
     )
     res = (q_packed, neighb_sorted, s_packed, x_sorted, weights,
-           kernel_points, starts, extent, ends)
+           kernel_points, starts, extent, ends, den)
     return out, res
 
 
 def _band_conv_ad_bwd(band_cap, query_tile, interpret, panel_dtype, res, g):
     (q_packed, neighb_sorted, s_packed, x_sorted, weights,
-     kernel_points, starts, extent, ends) = res
+     kernel_points, starts, extent, ends, den) = res
     pd = jnp.bfloat16 if panel_dtype == "bfloat16" else jnp.float32
     starts = (starts.astype(jnp.int32) // 8) * 8  # same alignment as fwd
     ends = _prep_ends(starts, ends, band_cap, s_packed.shape[0])
@@ -482,18 +496,11 @@ def _band_conv_ad_bwd(band_cap, query_tile, interpret, panel_dtype, res, g):
     c = c0 + ((-c0) % 128)
     coutp = cout0 + ((-cout0) % 128)
 
-    # density denom via one XLA gather-sum over the SAME lists the kernel
-    # selects from (positions; shadow -> a zero pad row): saves a second
-    # in-kernel selection sweep. Under band overflow the kernel's window
-    # truncation can drop list entries this count keeps — overflow is
-    # flagged upstream and those runs are degraded anyway.
+    # the clamped density denom was computed (for free) by the forward
+    # kernel and saved in the residuals — an XLA gather-sum here costs
+    # ~6 ms/layer, the scaling is elementwise
     ns_pad = s_packed.shape[0]
-    active = (jnp.sum(x_sorted.astype(jnp.float32), axis=1) > 0.0)
-    act_ext = jnp.concatenate(
-        [active, jnp.zeros((1,), bool)]).astype(jnp.float32)
-    pos = jnp.minimum(neighb_sorted.astype(jnp.int32), ns_pad)  # [K, Nq]
-    denom = jnp.maximum(jnp.sum(act_ext[pos], axis=0), 1.0)     # [Nq]
-    gs = g.astype(jnp.float32) / denom[:, None]
+    gs = g.astype(jnp.float32) / den[0, :, None]
 
     w_flat = jnp.pad(
         weights.astype(pd),

@@ -66,7 +66,7 @@ def test_band_conv_matches_kpconv():
         lvl.key_sorted, kmin - (r + SortedLevel.EPS)).astype(jnp.int32)
     starts = jnp.minimum(starts, cap)
 
-    out_sorted = band_conv(
+    out_sorted, _ = band_conv(
         lvl.q_packed, neighb_sorted, lvl.s_packed, x_sorted,
         params.weights, params.kernel_points, starts, jnp.float32(extent),
         band_cap=BAND, query_tile=T, interpret=True,
@@ -189,7 +189,7 @@ def test_band_conv_bf16_panels_close_to_f32():
             params.weights, params.kernel_points, starts,
             jnp.float32(extent),
             band_cap=BAND, query_tile=T, interpret=True, panel_dtype=pd,
-        ))[:n]
+        )[0])[:n]
     ref, got = outs["float32"], outs["bfloat16"]
     rel = (np.linalg.norm(got - ref) / np.linalg.norm(ref))
     assert rel < 0.01, f"bf16 panel relative error {rel}"

@@ -60,12 +60,12 @@ for cin, cout in ((128, 128),):
                 jnp.float32(extent))
         kw = dict(band_cap=BANDP, query_tile=T, panel_dtype=pdt)
         t0 = time.perf_counter()
-        out = band_conv(*args, **kw)
+        out = band_conv(*args, **kw)[0]
         jax.block_until_ready(out)
         c = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(30):
-            out = band_conv(*args, **kw)
+            out = band_conv(*args, **kw)[0]
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / 30 * 1e3
         outs[pdt] = np.asarray(out)[:N]
