@@ -401,6 +401,11 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config,
     qb = batch["band"][q_level]
     sb = batch["band"][l]
     neighb = batch["pools"][l] if spec.strided else batch["neighbors"][l]
+    # per-query selection thresholds (exact list membership without the
+    # list): present whenever the pyramid ran the fused select — the
+    # kernels then skip the [K, T] membership-compare loop entirely
+    thr_key = f"pool{l}" if spec.strided else f"conv{l}"
+    thr, ptie = batch.get("sel_thr", {}).get(thr_key, (None, None))
 
     s_rows = batch["points"][l].shape[0]
     n_q_rows = batch["points"][q_level].shape[0]
@@ -426,6 +431,9 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config,
         neighb_sorted = jnp.pad(
             neighb_sorted, ((0, 0), (0, pad)), constant_values=s_rows
         )
+        if thr is not None:
+            thr = jnp.pad(thr, (0, pad))    # padding queries: cid -1 blocks
+            ptie = jnp.pad(ptie, (0, pad), constant_values=-1.0)
 
     r = spec.radius  # the conv search radius at this layer
     tiles = qk.reshape(-1, T)
@@ -457,6 +465,6 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config,
         q_packed, neighb_sorted, sb["s_packed"], x_sorted,
         conv_params.weights,
         jax.lax.stop_gradient(conv_params.kernel_points),
-        starts, jnp.float32(extent), ends,
+        starts, jnp.float32(extent), ends, thr, ptie,
     )
     return out_sorted[:n_q_rows]

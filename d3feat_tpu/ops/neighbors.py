@@ -528,9 +528,21 @@ def radius_neighbors_sorted(
     band_cap: int,
     interpret: bool = False,
     raw_positions: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    with_threshold: bool = False,
+) -> tuple[jax.Array, ...]:
     """Pallas band search over pre-sorted levels (same contract as
-    :func:`radius_neighbors_pallas`, ~zero per-call XLA preprocessing)."""
+    :func:`radius_neighbors_pallas`, ~zero per-call XLA preprocessing).
+
+    ``with_threshold=True`` (requires ``raw_positions``) additionally
+    returns per-query selection thresholds ``(thr [Nq] f32, ptie [Nq] f32)``
+    reproducing list membership EXACTLY without the list: a support at
+    squared distance d2 and sorted position p is in the query's list iff
+    ``d2 < thr or (d2 == thr and p <= ptie)``. thr is the K-th neighbor's
+    squared distance (r^2 when the list isn't full — then every in-radius
+    point is listed); ptie is the largest in-list position among entries at
+    exactly thr (the select kernel extracts equal distances in ascending
+    position order, so in-list ties are precisely the smallest positions).
+    """
     from d3feat_tpu.ops.pallas.select import band_select
 
     r = jnp.asarray(radius, jnp.float32)
@@ -563,11 +575,13 @@ def radius_neighbors_sorted(
     starts = jnp.minimum((starts // 8) * 8, ns)
     overflow = jnp.any((ends - starts) > band_cap)
 
-    pos = band_select(
+    sel = band_select(
         q_packed, s_level.s_packed, starts, r * r, ends,
         max_k=min(max_k, band_cap), band_cap=band_cap,
         query_tile=query_tile, interpret=interpret,
+        with_dists=with_threshold,
     )
+    pos, dists = sel if with_threshold else (sel, None)
     if raw_positions:
         # sorted-space contract: rows stay in sorted-query order and values
         # are sorted-support POSITIONS (shadow/empty -> ns). Skips two
@@ -577,6 +591,19 @@ def radius_neighbors_sorted(
         if out.shape[1] < max_k:
             out = jnp.pad(out, ((0, 0), (0, max_k - out.shape[1])),
                           constant_values=ns)
+        if with_threshold:
+            # thr: the last (K-th) squared distance; +inf when the list
+            # isn't full -> clamp to r^2 (every in-radius point is listed).
+            # ptie: the largest in-list position among entries at exactly
+            # thr (empty slots carry d=+inf != thr since thr <= r^2 < inf).
+            thr = jnp.minimum(dists[:nq, -1], (r * r).astype(jnp.float32))
+            ptie = jnp.max(
+                jnp.where(dists[:nq] == thr[:, None],
+                          pos[:nq].astype(jnp.float32),
+                          jnp.float32(-1.0)),
+                axis=1,
+            )
+            return out, overflow, thr, ptie
         return out, overflow
     out_sorted = s_level.idx_sorted_pad[
         jnp.minimum(pos[:nq], ns + s_level.band_pad - 1)

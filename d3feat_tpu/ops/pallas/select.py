@@ -69,6 +69,7 @@ CHUNK = 256  # preferred band chunk rows (level_band_cap rounds caps to 256)
 def _select_kernel(
     n_chunk_max,           # python int: band_cap // chunk
     CHUNK,                 # python int: chunk rows
+    with_dists,            # python bool: also emit the top-K distances
     # scalar prefetch
     starts_ref,            # [n_tiles] int32 band start rows (8-aligned)
     ends_ref,              # [n_tiles] int32 band end rows
@@ -77,11 +78,14 @@ def _select_kernel(
     r2_ref,                # [1, 1] f32 squared radius (SMEM)
     s_hbm,                 # [Ns_pad, 128] f32 packed sorted supports (HBM)
     # outputs
-    out_ref,               # [K, T] int32 global band positions (VMEM)
-    # scratch
-    band_ref,              # [CHUNK, 128] f32
-    sem,                   # DMA semaphore
+    *refs,                 # out_ref [K, T] i32 (+ dist_ref [K, T] f32),
+                           # then scratch: band_ref [CHUNK, 128] f32, sem
 ):
+    if with_dists:
+        out_ref, dist_ref, band_ref, sem = refs
+    else:
+        out_ref, band_ref, sem = refs
+        dist_ref = None
     K, T = out_ref.shape
     i = pl.program_id(0)
     start = pl.multiple_of(starts_ref[i], 8)
@@ -155,16 +159,19 @@ def _select_kernel(
             0, k_dyn, sweep, (d2, dtop, ptop))
         return dtop, ptop
 
-    _, ptop = jax.lax.fori_loop(
+    dtop, ptop = jax.lax.fori_loop(
         0, n_act, chunk_body,
         (jnp.full((K, T), _INF, jnp.float32),
          jnp.full((K, T), empty, jnp.int32)),
     )
     out_ref[:] = ptop
+    if with_dists:
+        dist_ref[:] = dtop
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_k", "band_cap", "query_tile", "interpret")
+    jax.jit, static_argnames=("max_k", "band_cap", "query_tile", "interpret",
+                              "with_dists")
 )
 def band_select(
     q_packed: jax.Array,    # [8, Nq_pad] f32: sublanes x, y, z, cid
@@ -177,10 +184,15 @@ def band_select(
     band_cap: int,
     query_tile: int,
     interpret: bool = False,
-) -> jax.Array:
+    with_dists: bool = False,
+):
     """[Nq_pad, max_k] int32 global positions into ``s_packed`` rows
     (ascending distance; empty slots = Ns_pad - 1). Rows of padding
-    queries (cid < 0) come back all-empty."""
+    queries (cid < 0) come back all-empty.
+
+    ``with_dists=True`` additionally returns the matching [Nq_pad, max_k]
+    f32 squared distances (empty slots = +inf) — the threshold-selection
+    source for the fused band convolution (d2 of the K-th neighbor)."""
     nq = q_packed.shape[1]
     n_tiles = nq // query_tile
     assert n_tiles * query_tile == nq
@@ -203,17 +215,26 @@ def band_select(
             # dynamic-start band DMA (see ops/pallas/band_conv)
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((max_k, query_tile), lambda i, s, e: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((max_k, query_tile), lambda i, s, e: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + ([
+            pl.BlockSpec((max_k, query_tile), lambda i, s, e: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] if with_dists else []),
         scratch_shapes=[
             pltpu.VMEM((chunk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    out_shape = [jax.ShapeDtypeStruct((max_k, nq), jnp.int32)]
+    if with_dists:
+        out_shape.append(jax.ShapeDtypeStruct((max_k, nq), jnp.float32))
     out = pl.pallas_call(
-        functools.partial(_select_kernel, band_cap // chunk, chunk),
+        functools.partial(_select_kernel, band_cap // chunk, chunk,
+                          with_dists),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((max_k, nq), jnp.int32),
+        out_shape=out_shape,
         interpret=interpret,
     )(
         starts.astype(jnp.int32),
@@ -222,7 +243,9 @@ def band_select(
         jnp.full((1, 1), r2, jnp.float32),
         s_packed.astype(jnp.float32),
     )
-    return out.T
+    if with_dists:
+        return out[0].T, out[1].T
+    return out[0].T
 
 
 def pack_supports(points: jax.Array, cid: jax.Array) -> jax.Array:

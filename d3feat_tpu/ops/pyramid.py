@@ -172,6 +172,7 @@ def build_pyramid(
         "lengths": [], "masks": [],
     }
     out["band"] = {}  # per-level sorted state for fused band kernels
+    out["sel_thr"] = {}  # per-search (thr, ptie) threshold-selection pairs
     pts, lens = points.astype(jnp.float32), lengths.astype(jnp.int32)
     overflow = jnp.zeros((), bool)
     overflow_by = {}  # per-source flags (same info, diagnosable)
@@ -250,14 +251,21 @@ def build_pyramid(
             # Tiles must be 128-lane multiples (Mosaic block divisibility);
             # tiny eval buckets would otherwise yield e.g. 96-wide tiles.
             qt = 128 if (ratio > 1 or s.shape[0] < 256) else 256
-            idx, ov = radius_neighbors_sorted(
+            want_thr = k > 1  # conv/pool searches feed the band convolution
+            res = radius_neighbors_sorted(
                 sorted_level(q_level, q, ql), sorted_level(s_level, s, sl),
                 r, max_k=k, query_tile=qt,
                 band_cap=level_band_cap(s.shape[0], spec.num_clouds,
                                         spec.band_frac, tile=qt,
                                         ratio=ratio),
-                raw_positions=True,
+                raw_positions=True, with_threshold=want_thr,
             )
+            idx, ov = res[0], res[1]
+            if want_thr:
+                # per-query selection thresholds: the fused band conv (and
+                # detector-head kernel) reproduce list membership from
+                # (thr, ptie) alone — no [K, T] compare loop in-kernel
+                out["sel_thr"][name] = (res[2], res[3])
             overflow = overflow | ov
             overflow_by[name] = ov
             return idx

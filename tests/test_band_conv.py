@@ -193,3 +193,85 @@ def test_band_conv_bf16_panels_close_to_f32():
     ref, got = outs["float32"], outs["bfloat16"]
     rel = (np.linalg.norm(got - ref) / np.linalg.norm(ref))
     assert rel < 0.01, f"bf16 panel relative error {rel}"
+
+
+def _thr_setup(pts, lens, r, k, cin, cout, kpn, cap, band_pad=512,
+               grid_pts=False):
+    pts_j = jnp.asarray(pts)
+    lens_j = jnp.asarray(lens)
+    axis, origin = make_level_frame(pts_j, lens_j, 2)
+    lvl = SortedLevel(pts_j, lens_j, 2, axis, origin, band_pad=band_pad)
+    T, BAND = 64, band_pad
+    neighb, ov, thr, ptie = radius_neighbors_sorted(
+        lvl, lvl, r, max_k=k, query_tile=T, band_cap=BAND, interpret=True,
+        raw_positions=True, with_threshold=True)
+    assert not bool(ov)
+    kp = load_kernels(r, kpn, deterministic=True).astype(np.float32)
+    params = init_kpconv(jax.random.key(0), kpn, cin, cout, kp)
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(cap, cin)).astype(np.float32)
+    x[int(np.sum(lens)):] = 0.0
+    x_sorted_n = jnp.asarray(x)[lvl.order]
+    extent = r * 2.0 / 2.5
+    x_sorted = jnp.concatenate([
+        x_sorted_n, jnp.zeros((lvl.band_pad, cin), jnp.float32)])
+    neighb_sorted = jnp.asarray(neighb).T
+    qk = lvl.key_sorted.reshape(-1, T)
+    valid = qk < 2 * SortedLevel.KOFF
+    kmin = jnp.min(jnp.where(valid, qk, jnp.float32(3e37)), axis=1)
+    starts = jnp.searchsorted(
+        lvl.key_sorted, kmin - (r + SortedLevel.EPS)).astype(jnp.int32)
+    starts = jnp.minimum(starts, cap)
+    common = dict(band_cap=BAND, query_tile=T, interpret=True)
+    out_list, den_list = band_conv(
+        lvl.q_packed, neighb_sorted, lvl.s_packed, x_sorted,
+        params.weights, params.kernel_points, starts, jnp.float32(extent),
+        **common)
+    out_thr, den_thr = band_conv(
+        lvl.q_packed, neighb_sorted, lvl.s_packed, x_sorted,
+        params.weights, params.kernel_points, starts, jnp.float32(extent),
+        None, thr, ptie, **common)
+    return out_list, den_list, out_thr, den_thr
+
+
+def test_band_conv_threshold_matches_list_mode():
+    """Threshold selection must reproduce list membership exactly: the
+    density denominators (pure counts of selected active rows) must be
+    IDENTICAL, and outputs equal up to the d2-expansion rounding."""
+    rng = np.random.default_rng(3)
+    n0, n1 = 230, 210
+    pts = np.concatenate([
+        rng.uniform(0, 1, size=(n0, 3)) * np.array([3.0, 1.0, 0.5]),
+        rng.uniform(0, 1, size=(n1, 3)) * np.array([0.7, 2.4, 0.8]),
+    ]).astype(np.float32)
+    cap = 512
+    padded = np.full((cap, 3), 1.0e6, np.float32)
+    padded[: len(pts)] = pts
+    lens = np.array([n0, n1], np.int32)
+    out_l, den_l, out_t, den_t = _thr_setup(
+        padded, lens, 0.4, 12, 8, 16, 15, cap)
+    # selection is a count: must match exactly
+    np.testing.assert_array_equal(np.asarray(den_l)[0], np.asarray(den_t)[0])
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_l),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_band_conv_threshold_exact_ties():
+    """Grid-structured points produce exact f32 distance ties at the K
+    boundary; the (thr, ptie) tie-break must keep membership identical."""
+    # a 7x7x7 integer grid scaled: many exactly-equal neighbor distances
+    g = np.stack(np.meshgrid(*([np.arange(7.0)] * 3), indexing="ij"),
+                 axis=-1).reshape(-1, 3).astype(np.float32) * 0.1
+    n0 = len(g)  # 343
+    cap = 512
+    padded = np.full((cap, 3), 1.0e6, np.float32)
+    padded[:n0] = g
+    # tiny second cloud far away
+    padded[n0:n0 + 8] = np.arange(24, dtype=np.float32).reshape(8, 3) * 0.05
+    lens = np.array([n0, 8], np.int32)
+    # k=6 < 18-neighbor shells: the K-th slot lands mid-tie constantly
+    out_l, den_l, out_t, den_t = _thr_setup(
+        padded, lens, 0.21, 6, 4, 8, 15, cap)
+    np.testing.assert_array_equal(np.asarray(den_l)[0], np.asarray(den_t)[0])
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_l),
+                               atol=5e-5, rtol=1e-4)
