@@ -564,10 +564,16 @@ def radius_neighbors_sorted(
     kmin = jnp.min(jnp.where(tvalid, tiles, jnp.float32(3.0e37)), axis=1)
     kmax = jnp.max(jnp.where(tvalid, tiles, jnp.float32(-1.0)), axis=1)
     margin = r + SortedLevel.EPS
-    starts = jnp.searchsorted(
-        s_level.key_sorted, kmin - margin, method="sort").astype(jnp.int32)
-    ends = jnp.searchsorted(
-        s_level.key_sorted, kmax + margin, method="sort").astype(jnp.int32)
+    # left insertion points via broadcast compare-count: n_tiles is tiny
+    # (nq / T <= ~128), so [n_tiles, ns] compares are ~free, while
+    # searchsorted(method='sort') re-sorts the whole support key array per
+    # call (~1.2 ms/step across the pyramid's searches)
+    starts = jnp.sum(
+        s_level.key_sorted[None, :] < (kmin - margin)[:, None], axis=1
+    ).astype(jnp.int32)
+    ends = jnp.sum(
+        s_level.key_sorted[None, :] < (kmax + margin)[:, None], axis=1
+    ).astype(jnp.int32)
     # 8-row floor: bf16 HBM arrays are (8,128)-tiled and the band-conv DMA
     # start must be provably 8-divisible; band_conv floors identically so
     # the select and conv windows coincide (flooring only widens downward).

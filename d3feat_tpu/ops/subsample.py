@@ -122,36 +122,43 @@ def voxel_subsample(
     seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # [N] run id, ascending
 
     # Scatter-free segment reduction: runs are contiguous in the sorted
-    # order (boundaries via vectorized searchsorted over the ascending run
-    # ids), and a voxel of edge dl over points spaced >= dl_prev holds at
-    # most ~(dl/dl_prev + 1)^3 points, so each run is summed EXACTLY with
-    # a bounded gather loop. segment_sum would lower to a scatter (a flat
-    # ~5 ms on TPU regardless of size); prefix-sum differences would lose
-    # float32 precision at scale.
+    # order, so a segmented inclusive prefix (Hillis-Steele doubling over
+    # the sorted rows) leaves each run's total sum/count in its LAST row
+    # after ceil(log2(window)) shifted masked adds. A voxel of edge dl over
+    # points spaced >= dl_prev holds at most ~(dl/dl_prev + 1)^3 points, so
+    # a small window covers every real run (checked exactly below). This
+    # costs ~log2(window) cheap [N, 4] passes where the previous
+    # [capacity, window] occupancy gather cost ~1 ms at L1 scale;
+    # segment_sum would lower to a scatter (a flat ~5 ms on TPU).
     c = out_capacity
     run_ids = jnp.arange(c)
-    # method='sort' keeps these vectorized (default 'scan' is a while
-    # loop costing ~1 ms per call at these sizes)
-    starts = jnp.searchsorted(seg, run_ids, method="sort")  # [c] in [0, n]
-    ends = jnp.searchsorted(seg, run_ids + 1, method="sort")
+    steps = max(1, (occupancy_cap - 1).bit_length())
+    window = 1 << steps
+    vals = jnp.concatenate(
+        [s_pts.astype(jnp.float32), jnp.ones((n, 1), jnp.float32)], axis=1)
+    for sft in (1 << t for t in range(steps)):
+        same = seg[sft:] == seg[:-sft]
+        vals = vals.at[sft:].add(jnp.where(same[:, None], vals[:-sft], 0.0))
 
-    # one vectorized [c, occupancy_cap] gather (a sequential per-offset
-    # loop costs ~50us of launch overhead per iteration)
-    offs = jnp.arange(occupancy_cap)
-    pos = jnp.minimum(starts[:, None] + offs[None, :], n - 1)  # [c, occ]
-    take = (starts[:, None] + offs[None, :]) < ends[:, None]
-    gathered = s_pts[pos.reshape(-1)].reshape(c, occupancy_cap, 3)
-    sums = jnp.sum(jnp.where(take[:, :, None], gathered, 0.0), axis=1)
-    cnts = jnp.minimum(ends - starts, occupancy_cap).astype(points.dtype)
-    seg_cid = s_cid[jnp.minimum(starts, n - 1)]      # cid at the run start
+    # Run boundaries via broadcast compare-count (left insertion points);
+    # searchsorted(method='sort') here would re-sort [N] per call, and the
+    # default 'scan' lowers to a ~1 ms while loop.
+    ends = jnp.sum(seg[None, :] <= run_ids[:, None], axis=1)  # [c] in [0, n]
+    starts = jnp.concatenate([jnp.zeros((1,), ends.dtype), ends[:-1]])
+    last = jnp.maximum(ends - 1, 0)
+    sums = vals[last, :3]                            # [c, 3] run sums
+    cnts = (ends - starts).astype(points.dtype)      # exact run lengths
+    seg_cid = s_cid[last]                            # cid at the run end
 
     n_unique = jnp.sum(is_first & s_valid)  # valid voxels (come first, sorted)
     out_slot_valid = run_ids < jnp.minimum(n_unique, c)
-    # occupancy check only over valid runs (all padding rows share one
-    # giant run that must not trip the flag)
+    # scan-window check only over valid runs (all padding rows share one
+    # giant run that must not trip the flag); a run longer than the window
+    # would have an incomplete sum, so it flags overflow exactly as the
+    # gather cap used to
     occ_overflow = jnp.max(
         jnp.where(out_slot_valid, ends - starts, 0)
-    ) > occupancy_cap
+    ) > window
     bary = sums / jnp.maximum(cnts, 1.0)[:, None]
     out_points = jnp.where(out_slot_valid[:, None], bary, big)
     out_cid = jnp.where(out_slot_valid, seg_cid, b)
