@@ -379,6 +379,49 @@ def band_conv_eligible(spec: BlockSpec, batch, config, train: bool) -> bool:
     return spec.layer in band and q_level in band
 
 
+def band_query_tiles(qb, sb, num_clouds, r, T, s_rows,
+                     thr=None, ptie=None):
+    """Shared band-kernel query prep: pad the sorted queries (and their
+    selection thresholds) to a tile multiple and compute each tile's
+    support band window [start, end) from the sorted keys.
+
+    Returns (q_packed [8, Nq_pad], starts [n_tiles], ends [n_tiles],
+    thr, ptie, pad)."""
+    from d3feat_tpu.ops.neighbors import SortedLevel
+
+    q_packed = qb["q_packed"]
+    qk = qb["key_sorted"]
+    nq = q_packed.shape[1]
+    pad = (-nq) % T
+    if pad:
+        q_packed = jnp.pad(q_packed, ((0, 0), (0, pad)))
+        q_packed = q_packed.at[3, nq:].set(-1.0)  # padding cid blocks sel
+        qk = jnp.pad(qk, (0, pad), constant_values=3.0e37)
+        if thr is not None:
+            thr = jnp.pad(thr, (0, pad))
+            ptie = jnp.pad(ptie, (0, pad), constant_values=-1.0)
+
+    tiles = qk.reshape(-1, T)
+    valid = tiles < num_clouds * SortedLevel.KOFF
+    kmin = jnp.min(jnp.where(valid, tiles, jnp.float32(3.0e37)), axis=1)
+    kmax = jnp.max(jnp.where(valid, tiles, jnp.float32(-1.0)), axis=1)
+    # left insertion points via broadcast compare-count over the few tile
+    # bounds (searchsorted(method='sort') re-sorts the key array per call)
+    starts = jnp.sum(
+        sb["key_sorted"][None, :] < (kmin - (r + SortedLevel.EPS))[:, None],
+        axis=1,
+    ).astype(jnp.int32)
+    starts = jnp.minimum(starts, s_rows)
+    # actual band end per tile: gates the kernel's chunk loop to the real
+    # window (list positions provably lie below it); work-only, see
+    # ops/pallas/band_conv
+    ends = jnp.sum(
+        sb["key_sorted"][None, :] < (kmax + (r + SortedLevel.EPS))[:, None],
+        axis=1,
+    ).astype(jnp.int32)
+    return q_packed, starts, ends, thr, ptie, pad
+
+
 def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config,
                       compute_dtype=jnp.float32):
     """KPConv via the fused band kernel (ops/pallas/band_conv): neighbor
@@ -392,7 +435,6 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config,
     Requires the pyramid's SORTED-SPACE contract (pyr['sorted_space']):
     features/points/lists already live in key-sorted order with position-
     valued lists, so no per-block reorder gathers exist at all."""
-    from d3feat_tpu.ops.neighbors import SortedLevel
     from d3feat_tpu.ops.pallas.band_conv import band_conv_ad
     from d3feat_tpu.ops.pyramid import level_band_cap
 
@@ -420,36 +462,13 @@ def apply_band_kpconv(conv_params, spec: BlockSpec, x, batch, config,
     # bounded — same sizing as the pyramid's pool search
     T = 128 if spec.strided else 256
     num_clouds = len(batch["lengths"][0])
-    q_packed = qb["q_packed"]
-    qk = qb["key_sorted"]
-    nq = q_packed.shape[1]
-    pad = (-nq) % T
+    q_packed, starts, ends, thr, ptie, pad = band_query_tiles(
+        qb, sb, num_clouds, spec.radius, T, s_rows, thr, ptie
+    )
     if pad:
-        q_packed = jnp.pad(q_packed, ((0, 0), (0, pad)))
-        q_packed = q_packed.at[3, nq:].set(-1.0)
-        qk = jnp.pad(qk, (0, pad), constant_values=3.0e37)
         neighb_sorted = jnp.pad(
             neighb_sorted, ((0, 0), (0, pad)), constant_values=s_rows
         )
-        if thr is not None:
-            thr = jnp.pad(thr, (0, pad))    # padding queries: cid -1 blocks
-            ptie = jnp.pad(ptie, (0, pad), constant_values=-1.0)
-
-    r = spec.radius  # the conv search radius at this layer
-    tiles = qk.reshape(-1, T)
-    valid = tiles < num_clouds * SortedLevel.KOFF
-    kmin = jnp.min(jnp.where(valid, tiles, jnp.float32(3.0e37)), axis=1)
-    kmax = jnp.max(jnp.where(valid, tiles, jnp.float32(-1.0)), axis=1)
-    starts = jnp.searchsorted(
-        sb["key_sorted"], kmin - (r + SortedLevel.EPS), method="sort"
-    ).astype(jnp.int32)
-    starts = jnp.minimum(starts, s_rows)
-    # actual band end per tile: gates the kernel's chunk loop to the real
-    # window (list positions provably lie below it); work-only, see
-    # ops/pallas/band_conv
-    ends = jnp.searchsorted(
-        sb["key_sorted"], kmax + (r + SortedLevel.EPS), method="sort"
-    ).astype(jnp.int32)
 
     # density ratio: a strided block's query tile spans ~T * ratio support
     # rows (same sizing as the pyramid's pool search at this level)

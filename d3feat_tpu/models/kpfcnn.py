@@ -140,7 +140,8 @@ class KPFCNNOutput(NamedTuple):
 
 
 def detection_scores(batch, features: jax.Array, *, train: bool,
-                     per_cloud_norm: bool = False) -> jax.Array:
+                     per_cloud_norm: bool = False,
+                     config=None) -> jax.Array:
     """Parameter-free detector head (reference: architectures.py:322-368).
 
     ``per_cloud_norm=False`` reproduces the reference exactly: one global
@@ -150,6 +151,11 @@ def detection_scores(batch, features: jax.Array, *, train: bool,
     as extra clouds (extraction path), so one fragment's feature scale
     cannot perturb another's scores. (The reference itself sketches this
     per-sample variant in its commented-out code, architectures.py:337-345.)
+
+    On the forward-only path (``train=False``) with the pyramid's
+    sorted-space band state present, the neighborhood sum/count ride the
+    fused band-head kernel (ops/pallas/head) instead of a [C0, K0, D]
+    gather + two reductions; the eval local-max gate keeps its XLA gather.
     """
     neighbor = batch["neighbors"][0]  # [C0, K0], shadow = C0
     f = features
@@ -168,13 +174,53 @@ def detection_scores(batch, features: jax.Array, *, train: bool,
         # features incl. a zero shadow row; padded rows here are zero, so
         # the plain global max is identical (architectures.py:342).
         f = f / (jnp.max(f) + 1e-6)
-    f_ext = jnp.concatenate([f, jnp.zeros((1, f.shape[1]), f.dtype)], axis=0)
-    neighbor_features = jnp.take(f_ext, neighbor, axis=0)  # [C0, K0, D]
+    use_band_head = (
+        not train
+        and config is not None
+        and 0 in batch.get("band", {})
+        and "conv0" in batch.get("sel_thr", {})
+    )
+    if use_band_head:
+        from d3feat_tpu.models.blocks import band_query_tiles
+        from d3feat_tpu.ops.pallas.head import band_head
+        from d3feat_tpu.ops.pyramid import level_band_cap
 
-    nf_sum = jnp.sum(neighbor_features, axis=-1)  # [C0, K0]
-    neighbor_num = jnp.sum(nf_sum != 0.0, axis=-1, keepdims=True)
-    neighbor_num = jnp.maximum(neighbor_num, 1).astype(f.dtype)
-    mean_features = jnp.sum(neighbor_features, axis=1) / neighbor_num
+        b0 = batch["band"][0]
+        thr, ptie = batch["sel_thr"]["conv0"]
+        s_rows = f.shape[0]
+        band_pad = b0["s_packed"].shape[0] - s_rows
+        num_clouds = len(batch["lengths"][0])
+        r0 = config.first_subsampling_dl * config.conv_radius
+        T = 256
+        q_packed, starts, ends, thr, ptie, _ = band_query_tiles(
+            b0, b0, num_clouds, r0, T, s_rows, thr, ptie
+        )
+        q_packed = (q_packed.astype(jnp.float32)
+                    .at[4, :].set(thr.astype(jnp.float32))
+                    .at[5, :].set(ptie.astype(jnp.float32)))
+        x_pad = jnp.concatenate(
+            [f.astype(jnp.float32),
+             jnp.zeros((band_pad, f.shape[1]), jnp.float32)]
+        )
+        fsum, cnt = band_head(
+            q_packed, b0["s_packed"], x_pad, starts, ends,
+            band_cap=level_band_cap(
+                s_rows, num_clouds, getattr(config, "band_frac", 0.1),
+                tile=T, ratio=1,
+            ),
+            query_tile=T,
+            interpret=jax.default_backend() != "tpu",
+        )
+        neighbor_num = jnp.maximum(cnt[:s_rows, None], 1.0).astype(f.dtype)
+        mean_features = fsum[:s_rows, : f.shape[1]] / neighbor_num
+    else:
+        f_ext = jnp.concatenate(
+            [f, jnp.zeros((1, f.shape[1]), f.dtype)], axis=0)
+        neighbor_features = jnp.take(f_ext, neighbor, axis=0)  # [C0, K0, D]
+        nf_sum = jnp.sum(neighbor_features, axis=-1)  # [C0, K0]
+        neighbor_num = jnp.sum(nf_sum != 0.0, axis=-1, keepdims=True)
+        neighbor_num = jnp.maximum(neighbor_num, 1).astype(f.dtype)
+        mean_features = jnp.sum(neighbor_features, axis=1) / neighbor_num
     local_max_score = jax.nn.softplus(f - mean_features)  # [C0, D]
 
     depth_wise_max = jnp.max(f, axis=1, keepdims=True)
@@ -184,6 +230,13 @@ def detection_scores(batch, features: jax.Array, *, train: bool,
     scores = jnp.max(all_scores, axis=1, keepdims=True)  # [C0, 1]
 
     if not train:
+        if use_band_head:
+            # the hard local-max gate still needs the per-neighbor maxima:
+            # a max over selected rows cannot ride the MXU (see
+            # ops/pallas/head docstring), so this one gather remains
+            f_ext = jnp.concatenate(
+                [f, jnp.zeros((1, f.shape[1]), f.dtype)], axis=0)
+            neighbor_features = jnp.take(f_ext, neighbor, axis=0)
         local_max = jnp.max(neighbor_features, axis=1)  # [C0, D]
         is_local_max = (f == local_max).astype(f.dtype)
         detected = jnp.max(is_local_max, axis=1, keepdims=True)
@@ -234,7 +287,7 @@ def apply_kpfcnn(
 
     x = x * mask0[:, None]  # keep padding rows zero for the detector head
     scores = detection_scores(batch, x, train=train,
-                              per_cloud_norm=per_cloud_norm)
+                              per_cloud_norm=per_cloud_norm, config=config)
     # safe L2 normalize: zero rows (padding) stay zero with finite gradients
     # (sqrt at 0 has an unbounded derivative; guard with the double-where)
     norm2 = jnp.sum(x * x, axis=-1, keepdims=True)
