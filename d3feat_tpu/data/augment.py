@@ -27,6 +27,21 @@ def random_rotation(
     return rx @ ry @ rz
 
 
+def random_so3(rng: np.random.Generator) -> np.ndarray:
+    """[3, 3] uniformly random PROPER rotation (det +1).
+
+    QR of a Gaussian matrix gives a Haar-random orthogonal matrix whose
+    determinant is -1 half the time; an improper frame mirrors the local
+    geometry, which is not a rigid motion — descriptors cannot (and should
+    not learn to) match reflected neighborhoods. Fix the sign by negating
+    one column when det < 0.
+    """
+    q = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    return q
+
+
 def random_translation(
     rng: np.random.Generator, augment_translation: float = 0.5
 ) -> np.ndarray:

@@ -217,20 +217,23 @@ def scan_fragment(
     return (pts - pts.mean(axis=0, keepdims=True)).astype(np.float32)
 
 
-def scan_pair(
+def scan_pair_world(
     rng: np.random.Generator,
     resolution=(160, 120),
     downsample: float = 0.03,
-    num_corr: int = 128,
+    max_corr: int = 1024,
     corr_radius: float = 0.0375,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Two overlapping scans of one room with GT correspondences.
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Two overlapping WORLD-FRAME scans of one room + candidate GT pairs.
 
-    Returns (pts0, pts1, corr [M, 2], dist_keypts [M, M]) in the dataset's
-    layout (reference: datasets/ThreeDMatch.py:126-144): each cloud in its
-    own frame, correspondences = point pairs within ``corr_radius`` of each
-    other in world space (the 3DMatch keypts-pickle construction), subsampled
-    to ``num_corr``.
+    The expensive, cacheable half of :func:`scan_pair`: ray-traced fused
+    scans and the correspondence candidates (point pairs within
+    ``corr_radius`` in world space — the 3DMatch keypts-pickle
+    construction). Frame randomization / per-visit augmentation happens in
+    :func:`frame_scan_pair`, so one generated scene serves many training
+    visits (see tools/gen_corpus.py + :class:`DiskScanPairDataset`).
+
+    Returns (w0 [N0, 3], w1 [N1, 3], pairs [M, 2] with M <= max_corr).
     """
     from scipy.spatial import cKDTree
 
@@ -264,24 +267,128 @@ def scan_pair(
         if len(ii) < 8:
             continue
         pairs = np.stack([ii, j[ii]], axis=1).astype(np.int32)
-        if len(pairs) > num_corr:
-            pairs = pairs[rng.choice(len(pairs), num_corr, replace=False)]
-        break
-    else:
-        raise RuntimeError("scan_pair: no usable scene after 32 draws")
+        if len(pairs) > max_corr:
+            pairs = pairs[rng.choice(len(pairs), max_corr, replace=False)]
+        return w0.astype(np.float32), w1.astype(np.float32), pairs
+    raise RuntimeError("scan_pair: no usable scene after 32 draws")
 
-    # each cloud in its own (zero-mean, randomly rotated) frame
+
+def frame_scan_pair(
+    rng: np.random.Generator,
+    w0: np.ndarray,
+    w1: np.ndarray,
+    pairs: np.ndarray,
+    num_corr: int = 128,
+    noise: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Place a world-frame scene into two independent random SE(3) frames.
+
+    Per-visit augmentation for cached scenes: PROPER random rotations
+    (det +1 — an improper frame would mirror the local geometry, which is
+    not a rigid motion), correspondence subsampling to ``num_corr``, and
+    optional per-point uniform noise (the reference adds 0.005 m at train
+    time, reference: datasets/ThreeDMatch.py:126-127).
+    """
+    from d3feat_tpu.data.augment import random_so3
+
+    sel = pairs
+    if len(sel) > num_corr:
+        sel = sel[rng.choice(len(sel), num_corr, replace=False)]
     c0 = w0.mean(axis=0, keepdims=True)
     c1 = w1.mean(axis=0, keepdims=True)
-    q0 = np.linalg.qr(rng.normal(size=(3, 3)))[0]
-    q1 = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+    q0 = random_so3(rng)
+    q1 = random_so3(rng)
     pts0 = ((w0 - c0) @ q0).astype(np.float32)
     pts1 = ((w1 - c1) @ q1).astype(np.float32)
+    if noise > 0.0:
+        pts0 = pts0 + rng.random(pts0.shape, dtype=np.float32) * noise
+        pts1 = pts1 + rng.random(pts1.shape, dtype=np.float32) * noise
 
-    kp = pts0[pairs[:, 0]]
+    kp = pts0[sel[:, 0]]
     dist_keypts = np.linalg.norm(
         kp[:, None] - kp[None], axis=-1).astype(np.float32)
-    return pts0, pts1, pairs, dist_keypts
+    return pts0, pts1, sel.astype(np.int32), dist_keypts
+
+
+def scan_pair(
+    rng: np.random.Generator,
+    resolution=(160, 120),
+    downsample: float = 0.03,
+    num_corr: int = 128,
+    corr_radius: float = 0.0375,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Two overlapping scans of one room with GT correspondences.
+
+    Returns (pts0, pts1, corr [M, 2], dist_keypts [M, M]) in the dataset's
+    layout (reference: datasets/ThreeDMatch.py:126-144): each cloud in its
+    own frame, correspondences subsampled to ``num_corr``.
+    """
+    w0, w1, pairs = scan_pair_world(
+        rng, resolution=resolution, downsample=downsample,
+        max_corr=num_corr, corr_radius=corr_radius)
+    return frame_scan_pair(rng, w0, w1, pairs, num_corr=num_corr)
+
+
+class DiskScanPairDataset:
+    """Scan-pair corpus from a directory of pre-generated world-frame scenes.
+
+    The single-CPU host cannot ray-trace scenes (~0.6 s each) as fast as
+    the TPU trains (~0.1 s/step), so ``tools/gen_corpus.py`` pre-generates
+    the expensive half (fused scans + candidate correspondences,
+    :func:`scan_pair_world`) as ``.npz`` files, and this dataset applies
+    only the cheap per-visit augmentation at load time
+    (:func:`frame_scan_pair`: fresh proper-SO(3) frames, correspondence
+    subsample, point noise) — every visit of the same scene is a distinct
+    training pair. The file list refreshes on every ``len()`` (i.e. each
+    loader epoch), so the corpus can keep GROWING while training runs.
+    """
+
+    def __init__(self, root: str, num_corr: int = 128, seed: int = 0,
+                 noise: float = 0.005):
+        import threading
+
+        self.root = root
+        self.num_corr = num_corr
+        self.seed = seed
+        self.noise = noise
+        self._files: list = []
+        self._visits = 0
+        self._lock = threading.Lock()
+        self._refresh()
+        if not self._files:
+            raise FileNotFoundError(
+                f"no scene .npz files under {root} — run tools/gen_corpus.py")
+
+    def _refresh(self):
+        import glob
+        import os
+
+        self._files = sorted(
+            glob.glob(os.path.join(self.root, "scene_*.npz")))
+
+    def __len__(self) -> int:
+        self._refresh()
+        return max(len(self._files), 1)
+
+    def packed(self, index: int, *, point_capacity: int, corr_capacity: int):
+        from d3feat_tpu.data.pack import pack_pair
+
+        files = self._files
+        path = files[index % len(files)]
+        with np.load(path) as z:
+            w0, w1, pairs = z["w0"], z["w1"], z["pairs"]
+        with self._lock:
+            visit = self._visits
+            self._visits += 1
+        rng = np.random.default_rng((self.seed, index, visit))
+        pts0, pts1, corr, dk = frame_scan_pair(
+            rng, w0, w1, pairs, num_corr=self.num_corr, noise=self.noise)
+        f0 = np.ones((len(pts0), 1), np.float32)
+        f1 = np.ones((len(pts1), 1), np.float32)
+        return pack_pair(
+            pts0, pts1, f0, f1, corr, dk,
+            point_capacity=point_capacity, corr_capacity=corr_capacity,
+        )
 
 
 class ScanPairDataset:

@@ -36,6 +36,7 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
 from d3feat_tpu.config import D3FeatConfig, PyramidCaps  # noqa: E402
+from d3feat_tpu.data.augment import random_so3  # noqa: E402
 from d3feat_tpu.data.pack import pack_single  # noqa: E402
 from d3feat_tpu.data.synthetic import (  # noqa: E402
     _fused_views,
@@ -69,7 +70,7 @@ def make_scene(rng, n_frags, resolution, downsample=0.03):
                 _fused_views(rng, room, eye, tgt, 3, resolution), downsample)
         world.append(w)
         c = w.mean(axis=0)
-        q = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+        q = random_so3(rng)  # proper rotation: frames are rigid motions
         frames.append((q, c))
 
     frags = [((w - c) @ q).astype(np.float32)

@@ -1,0 +1,82 @@
+"""Pre-generate a disk corpus of world-frame scan scenes for training.
+
+The ray-traced fused-scan generation (~0.6 s/scene on this single-CPU
+host) cannot keep up with the TPU train step (~0.1 s), so the expensive
+half of every training pair (d3feat_tpu.data.synthetic.scan_pair_world:
+two overlapping fused depth scans of one room + up to 1024 candidate GT
+correspondences, all in world frame) is generated ahead of time and
+written as one .npz per scene. Training then uses DiskScanPairDataset,
+which applies only the cheap per-visit augmentation (fresh proper-SO(3)
+frames, corr subsample, noise) at load time.
+
+Writes are atomic (tmp + rename) and existing scenes are skipped, so the
+tool is resumable and can keep running in the background WHILE training
+reads the same directory — the corpus grows between loader epochs.
+
+Run: python tools/gen_corpus.py --out runs/corpus --count 30000 \
+         [--seed 777] [--max-points 30000] [--nice]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="runs/corpus")
+    ap.add_argument("--count", type=int, default=30000)
+    ap.add_argument("--seed", type=int, default=777)
+    ap.add_argument("--max-points", type=int, default=30000,
+                    help="skip scenes whose pair exceeds this many points "
+                         "(keeps every pair inside the static L0 capacity)")
+    ap.add_argument("--min-corr", type=int, default=192,
+                    help="skip scenes with fewer candidate correspondences")
+    ap.add_argument("--resolution", type=int, nargs=2, default=(160, 120))
+    ap.add_argument("--nice", action="store_true",
+                    help="drop process priority to stay out of the way of "
+                         "a concurrent training/bench process")
+    args = ap.parse_args()
+
+    if args.nice:
+        os.nice(19)
+
+    from d3feat_tpu.data.synthetic import scan_pair_world
+
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.time()
+    written = skipped = 0
+    for i in range(args.count):
+        path = os.path.join(args.out, f"scene_{i:06d}.npz")
+        if os.path.exists(path):
+            continue
+        rng = np.random.default_rng(args.seed * 1000003 + i)
+        try:
+            w0, w1, pairs = scan_pair_world(
+                rng, resolution=tuple(args.resolution), max_corr=1024)
+        except RuntimeError:
+            skipped += 1
+            continue
+        if len(w0) + len(w1) > args.max_points or len(pairs) < args.min_corr:
+            skipped += 1
+            continue
+        # leading dot: must NOT match the dataset's scene_*.npz glob
+        tmp = os.path.join(args.out, f".tmp_{i:06d}.npz")
+        np.savez(tmp, w0=w0, w1=w1, pairs=pairs)
+        os.replace(tmp, path)
+        written += 1
+        if written % 100 == 0:
+            dt = time.time() - t0
+            print(f"[gen_corpus] {written} written, {skipped} skipped, "
+                  f"{dt / max(written, 1):.2f} s/scene", flush=True)
+    print(f"[gen_corpus] done: {written} written, {skipped} skipped",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,10 @@ pyramid (no C++ collate workers).
 Run ``python train_3dmatch.py --root /data/3DMatch`` for the real dataset,
 ``python train_3dmatch.py --synthetic`` for a hermetic smoke run, or
 ``python train_3dmatch.py --scan`` for simulated depth-scan pairs with
-realistic (fused RGB-D) density at full 3DMatch-like point counts.
+realistic (fused RGB-D) density at full 3DMatch-like point counts, or
+``python train_3dmatch.py --corpus runs/corpus`` to train from a
+pre-generated (and possibly still growing) disk corpus of scan scenes
+with fresh per-visit augmentation (see tools/gen_corpus.py).
 """
 
 import argparse
@@ -22,8 +25,20 @@ from d3feat_tpu.data.loader import PairLoader
 from d3feat_tpu.train.trainer import Trainer
 
 
-def make_loaders(config, synthetic: bool, scan: bool = False):
-    if scan:
+def make_loaders(config, synthetic: bool, scan: bool = False,
+                 corpus: str | None = None):
+    if corpus:
+        from d3feat_tpu.data.synthetic import DiskScanPairDataset
+
+        # per-visit augmentation makes every epoch fresh; the corpus dir
+        # may keep growing under a concurrent tools/gen_corpus.py
+        train_ds = DiskScanPairDataset(
+            corpus, num_corr=config.num_node, seed=config.seed,
+            noise=config.augment_noise)
+        val_ds = DiskScanPairDataset(
+            corpus, num_corr=64, seed=config.seed + 7919,
+            noise=config.augment_noise)
+    elif scan:
         from d3feat_tpu.data.synthetic import ScanPairDataset
 
         train_ds = ScanPairDataset(
@@ -76,8 +91,13 @@ def main(argv=None):
     scan = "--scan" in argv
     if scan:
         argv.remove("--scan")
+    corpus = None
+    if "--corpus" in argv:
+        i = argv.index("--corpus")
+        corpus = argv[i + 1]
+        del argv[i : i + 2]
     config = get_config(argv)
-    train_loader, val_loader = make_loaders(config, synthetic, scan)
+    train_loader, val_loader = make_loaders(config, synthetic, scan, corpus)
     trainer = Trainer(config, train_loader, val_loader)
     trainer.train()
     return 0
