@@ -343,14 +343,18 @@ class DiskScanPairDataset:
     loader epoch), so the corpus can keep GROWING while training runs.
     """
 
+    VAL_MOD = 50  # scene files with number % VAL_MOD == 0 are validation
+
     def __init__(self, root: str, num_corr: int = 128, seed: int = 0,
-                 noise: float = 0.005):
+                 noise: float = 0.005, role: str = "all"):
         import threading
 
+        assert role in ("all", "train", "val")
         self.root = root
         self.num_corr = num_corr
         self.seed = seed
         self.noise = noise
+        self.role = role
         self._files: list = []
         self._visits = 0
         self._lock = threading.Lock()
@@ -363,8 +367,17 @@ class DiskScanPairDataset:
         import glob
         import os
 
-        self._files = sorted(
-            glob.glob(os.path.join(self.root, "scene_*.npz")))
+        files = sorted(glob.glob(os.path.join(self.root, "scene_*.npz")))
+        if self.role != "all":
+            # split by scene NUMBER (stable as the corpus grows): the same
+            # file never moves between train and val across refreshes
+            def num(p):
+                return int(os.path.basename(p)[len("scene_"):-len(".npz")])
+
+            want_val = self.role == "val"
+            files = [p for p in files
+                     if (num(p) % self.VAL_MOD == 0) == want_val]
+        self._files = files
 
     def __len__(self) -> int:
         self._refresh()

@@ -427,12 +427,25 @@ class SortedLevel:
         self.num_clouds = num_clouds
         self.n = n
         self.band_pad = band_pad
-        self.order = jnp.argsort(key)
-        self.inv = jnp.argsort(self.order)
-        self.key_sorted = key[self.order]
-        pts_sorted = points.astype(jnp.float32)[self.order]
-        cid_sorted = cid[self.order]
-        self.qcid_sorted = jnp.where(valid, cid, -1)[self.order]
+        # ONE variadic sort with the coordinates and row ids as payloads:
+        # argsort + per-array gathers afterwards cost ~0.2 ms per gather at
+        # L0 scale (gathers are the tax). cid is re-derived from the sorted
+        # key (cid * KOFF + proj with proj < KOFF), not carried.
+        pf = points.astype(jnp.float32)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        self.key_sorted, sx, sy, sz, order = jax.lax.sort(
+            (key, pf[:, 0], pf[:, 1], pf[:, 2], iota), num_keys=1,
+            is_stable=True,  # stable: ties keep row order (shadow rows last)
+        )
+        self.order = order
+        self.inv = jnp.argsort(order)
+        pts_sorted = jnp.stack([sx, sy, sz], axis=1)
+        cid_sorted = jnp.minimum(
+            (self.key_sorted * (1.0 / self.KOFF)).astype(jnp.int32),
+            num_clouds,
+        )
+        self.qcid_sorted = jnp.where(
+            self.key_sorted < num_clouds * self.KOFF, cid_sorted, -1)
         self.idx_sorted_pad = jnp.concatenate([
             self.order.astype(jnp.int32),
             jnp.full((band_pad,), jnp.int32(n), jnp.int32),

@@ -109,11 +109,18 @@ def voxel_subsample(
     k_lo = jnp.where(valid, k_lo, inval)
     k_hi = jnp.where(valid, k_hi, inval)
 
-    order = jnp.lexsort((k_lo, k_hi))
-    s_lo, s_hi = k_lo[order], k_hi[order]
-    s_pts = points[order]
-    s_valid = valid[order]
-    s_cid = cid[order]
+    # one variadic sort carrying the coordinates as PAYLOADS: an argsort
+    # (lexsort) would cost three row-gathers afterwards (~0.8 ms at L0
+    # scale) to reorder points/valid/cid; validity and cloud id are
+    # recomputed from the sorted keys instead (valid <=> k_hi != inval,
+    # cid = high bits of k_hi)
+    s_hi, s_lo, sx, sy, sz = jax.lax.sort(
+        (k_hi, k_lo, points[:, 0], points[:, 1], points[:, 2]),
+        num_keys=2, is_stable=False,
+    )
+    s_pts = jnp.stack([sx, sy, sz], axis=1)
+    s_valid = s_hi != inval
+    s_cid = jnp.where(s_valid, (s_hi >> 16).astype(jnp.int32), b)
 
     is_first = jnp.concatenate([
         jnp.ones((1,), bool),

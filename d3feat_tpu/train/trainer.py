@@ -152,6 +152,21 @@ class Trainer:
         data_timer, step_timer = Timer(), Timer()
         epoch_arr = jnp.int32(epoch)
 
+        # Metrics stay on device until drained: a float() per step would
+        # force a host<->device roundtrip every iteration (the TPU rides a
+        # tunnel here — each sync costs milliseconds and breaks dispatch
+        # pipelining). Drain every _SYNC steps and at epoch end.
+        _SYNC = 32
+        pending = []
+
+        def drain():
+            for m in jax.device_get(pending):
+                for k in _METRIC_KEYS:
+                    meters[k].update(float(getattr(m, k)))
+                meters["skipped"].update(float(m.skipped))
+                meters["overflow"].update(float(m.overflow))
+            pending.clear()
+
         it = iter(self.train_loader)
         for i in range(min(len(self.train_loader), cfg.training_max_iter)):
             data_timer.tic()
@@ -164,13 +179,10 @@ class Trainer:
 
             step_timer.tic()
             self.state, m = self._train_step(self.state, batch, epoch_arr)
-            loss = float(m.loss)  # forces completion; keeps timing honest
+            pending.append(m)
+            if len(pending) >= _SYNC or self.global_iter % 100 == 99:
+                drain()  # forces completion; keeps timing honest-on-average
             step_timer.toc()
-
-            for k in _METRIC_KEYS:
-                meters[k].update(float(getattr(m, k)))
-            meters["skipped"].update(float(m.skipped))
-            meters["overflow"].update(float(m.overflow))
             self.global_iter += 1
 
             if self.global_iter % 100 == 0:

@@ -34,10 +34,10 @@ def make_loaders(config, synthetic: bool, scan: bool = False,
         # may keep growing under a concurrent tools/gen_corpus.py
         train_ds = DiskScanPairDataset(
             corpus, num_corr=config.num_node, seed=config.seed,
-            noise=config.augment_noise)
+            noise=config.augment_noise, role="train")
         val_ds = DiskScanPairDataset(
             corpus, num_corr=64, seed=config.seed + 7919,
-            noise=config.augment_noise)
+            noise=config.augment_noise, role="val")
     elif scan:
         from d3feat_tpu.data.synthetic import ScanPairDataset
 
