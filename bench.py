@@ -83,7 +83,6 @@ def main():
 
         n_dev = len(jax.devices())
         mesh = make_mesh(n_dev)
-        pyr_spec = None
         extract_dp = make_dp_extract_step(cfg, mesh, specs)
     extract = jax.jit(make_extract_step(cfg, specs, num_clouds=NC))
 

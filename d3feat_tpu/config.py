@@ -140,6 +140,12 @@ class D3FeatConfig:
     band_frac: float = 0.1  # banded: band margin ~ 2*frac*rows/clouds (overflow-flagged)
     cell_capacity: int = 32  # candidates per grid cell in the grid search
     use_pallas: bool = True  # use Pallas kernels where available (TPU only)
+    # fused band-conv routing: layers whose [KP, Cin_pad128, Cout] f32
+    # weight panel exceeds the VMEM budget fall back to the XLA gather
+    # path (24 MB covers every layer of the default architecture; the
+    # kernels raise Mosaic's scoped-VMEM limit accordingly)
+    bandconv_max_panel_mb: float = 24.0
+    bandconv_max_layer: int = 99  # debug: cap fused-path depth by layer
     seed: int = 0
     deterministic_kernel_points: bool = True  # disable load-time rotation/jitter
 

@@ -121,6 +121,66 @@ def _ray_box_enter(o, d, lo, hi):
     return np.where(hit, t, np.inf)
 
 
+def _ray_sphere_enter(o, d, center, radius):
+    """t of the nearest outside hit on a sphere (inf = miss)."""
+    oc = o - center[None, :]
+    b = np.sum(d * oc, axis=-1)
+    c = np.sum(oc * oc, axis=-1) - radius * radius
+    disc = b * b - c
+    with np.errstate(invalid="ignore"):
+        t = -b - np.sqrt(disc)
+    return np.where((disc > 0.0) & (t > 0.0), t, np.inf)
+
+
+def _ray_vcyl_enter(o, d, cx, cy, radius, z0, z1):
+    """t of the nearest hit on a capped vertical cylinder (inf = miss)."""
+    ox, oy = o[..., 0] - cx, o[..., 1] - cy
+    dx, dy = d[..., 0], d[..., 1]
+    a = dx * dx + dy * dy
+    b = ox * dx + oy * dy
+    c = ox * ox + oy * oy - radius * radius
+    disc = b * b - a * c
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t_side = (-b - np.sqrt(disc)) / a
+    z = o[..., 2] + d[..., 2] * t_side
+    t_side = np.where((disc > 0.0) & (t_side > 0.0)
+                      & (z >= z0) & (z <= z1), t_side, np.inf)
+    # caps: top disk (z1) and bottom disk (z0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for zc in (z0, z1):
+            t_cap = (zc - o[..., 2]) / d[..., 2]
+            px = o[..., 0] + d[..., 0] * t_cap - cx
+            py = o[..., 1] + d[..., 1] * t_cap - cy
+            ok = (t_cap > 0.0) & (px * px + py * py <= radius * radius)
+            t_side = np.minimum(t_side, np.where(ok, t_cap, np.inf))
+    return t_side
+
+
+def _ray_rotbox_enter(o, d, lo, hi, yaw_cs, pivot):
+    """Nearest hit on a z-rotated box: rotate rays into the box frame."""
+    c, s = yaw_cs
+    ox, oy = o[..., 0] - pivot[0], o[..., 1] - pivot[1]
+    o2 = np.stack([c * ox + s * oy + pivot[0],
+                   -s * ox + c * oy + pivot[1], o[..., 2]], axis=-1)
+    d2 = np.stack([c * d[..., 0] + s * d[..., 1],
+                   -s * d[..., 0] + c * d[..., 1], d[..., 2]], axis=-1)
+    return _ray_box_enter(o2, d2, lo, hi)
+
+
+def _object_enter(o, d, obj):
+    """Dispatch nearest-hit t for one tagged scene object."""
+    kind = obj[0]
+    if kind == "box":
+        return _ray_box_enter(o, d, obj[1], obj[2])
+    if kind == "rotbox":
+        return _ray_rotbox_enter(o, d, obj[1], obj[2], obj[3], obj[4])
+    if kind == "sphere":
+        return _ray_sphere_enter(o, d, obj[1], obj[2])
+    if kind == "cyl":
+        return _ray_vcyl_enter(o, d, *obj[1:])
+    raise ValueError(f"unknown scene object {kind!r}")
+
+
 def _look_at(rng, eye, target):
     fwd = target - eye
     fwd = fwd / np.linalg.norm(fwd)
@@ -133,16 +193,62 @@ def _look_at(rng, eye, target):
     return np.stack([right, down, fwd], axis=1)  # columns = camera axes
 
 
-def make_room(rng: np.random.Generator, n_boxes: int = 5):
-    """(room_lo, room_hi, [(lo, hi)] furniture boxes) for one scene."""
+def make_room(rng: np.random.Generator, n_boxes: int = 7):
+    """(room_lo, room_hi, objects) for one scene.
+
+    Objects are tagged tuples consumed by :func:`_object_enter`: yaw-rotated
+    boxes, spheres, capped vertical cylinders, plus small "clutter" pieces
+    stacked on top of larger ones. Axis-aligned boxes alone make every local
+    neighborhood one of {plane, right-angle edge, corner} — geometrically
+    indistinguishable classes that descriptor learning cannot separate
+    (matching real indoor scans needs curvature and oblique surfaces, which
+    real 3DMatch fragments have everywhere).
+    """
     size = rng.uniform([3.0, 3.0, 2.4], [6.0, 6.0, 3.0])
     lo = np.zeros(3)
-    boxes = []
-    for _ in range(n_boxes):
-        dims = rng.uniform([0.3, 0.3, 0.3], [1.5, 1.5, 1.8])
-        pos = rng.uniform([0.2, 0.2, 0.0], np.maximum(size - dims - 0.2, 0.3))
-        boxes.append((pos, pos + dims))
-    return lo, size, boxes
+    objects = []
+    n_objects = int(rng.integers(4, n_boxes + 2))
+    for _ in range(n_objects):
+        kind = rng.choice(["rotbox", "rotbox", "sphere", "cyl"])
+        if kind == "rotbox":
+            dims = rng.uniform([0.25, 0.25, 0.25], [1.5, 1.5, 1.8])
+            pos = rng.uniform([0.3, 0.3, 0.0],
+                              np.maximum(size - dims - 0.3, 0.4))
+            yaw = rng.uniform(0.0, np.pi / 2)
+            blo, bhi = pos, pos + dims
+            objects.append(("rotbox", blo, bhi,
+                            (np.cos(yaw), np.sin(yaw)),
+                            (blo[:2] + bhi[:2]) / 2.0))
+            # clutter: a small object resting on top (prob ~1/2)
+            if bhi[2] < size[2] - 0.5 and rng.random() < 0.5:
+                if rng.random() < 0.5:
+                    r = rng.uniform(0.08, 0.25)
+                    cxy = rng.uniform(blo[:2] + r, np.maximum(
+                        bhi[:2] - r, blo[:2] + r + 1e-3))
+                    objects.append(("sphere",
+                                    np.array([cxy[0], cxy[1], bhi[2] + r]),
+                                    r))
+                else:
+                    r = rng.uniform(0.06, 0.2)
+                    h = rng.uniform(0.1, 0.5)
+                    cxy = rng.uniform(blo[:2] + r, np.maximum(
+                        bhi[:2] - r, blo[:2] + r + 1e-3))
+                    objects.append(("cyl", cxy[0], cxy[1], r,
+                                    bhi[2], bhi[2] + h))
+        elif kind == "sphere":
+            r = rng.uniform(0.15, 0.6)
+            cxy = rng.uniform([0.3 + r, 0.3 + r],
+                              np.maximum(size[:2] - 0.3 - r, 0.4 + r))
+            # resting on the floor or floating (a lamp / plant canopy)
+            cz = r if rng.random() < 0.7 else rng.uniform(r, size[2] - r)
+            objects.append(("sphere", np.array([cxy[0], cxy[1], cz]), r))
+        else:  # vertical capped cylinder (column / bin / table leg)
+            r = rng.uniform(0.08, 0.45)
+            h = rng.uniform(0.3, min(2.2, size[2] - 0.2))
+            cxy = rng.uniform([0.3 + r, 0.3 + r],
+                              np.maximum(size[:2] - 0.3 - r, 0.4 + r))
+            objects.append(("cyl", cxy[0], cxy[1], r, 0.0, h))
+    return lo, size, objects
 
 
 def render_scan(
@@ -158,7 +264,7 @@ def render_scan(
 
     Kinect-like depth noise grows quadratically with distance — the density
     and noise profile real fragments have."""
-    lo, hi, boxes = room
+    lo, hi, objects = room
     w, h = resolution
     R = _look_at(rng, eye, target)
     tan = np.tan(np.radians(fov_deg) / 2.0)
@@ -171,8 +277,11 @@ def render_scan(
 
     o = eye[None, :]
     t = _ray_room_exit(o, dirs, lo, hi)
-    for blo, bhi in boxes:
-        t = np.minimum(t, _ray_box_enter(o, dirs, blo, bhi))
+    for obj in objects:
+        if isinstance(obj, tuple) and len(obj) == 2:  # legacy (lo, hi) box
+            t = np.minimum(t, _ray_box_enter(o, dirs, obj[0], obj[1]))
+        else:
+            t = np.minimum(t, _object_enter(o, dirs, obj))
     keep = np.isfinite(t) & (t > 0.3) & (t < max_depth)
     t = t[keep]
     dirs = dirs[keep]
@@ -280,34 +389,51 @@ def frame_scan_pair(
     pairs: np.ndarray,
     num_corr: int = 128,
     noise: float = 0.0,
+    rotation: str = "axis",
+    augment_rotation: float = 1.0,
+    augment_translation: float = 0.5,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Place a world-frame scene into two independent random SE(3) frames.
+    """Per-visit augmentation for cached world-frame scenes.
 
-    Per-visit augmentation for cached scenes: PROPER random rotations
-    (det +1 — an improper frame would mirror the local geometry, which is
-    not a rigid motion), correspondence subsampling to ``num_corr``, and
-    optional per-point uniform noise (the reference adds 0.005 m at train
-    time, reference: datasets/ThreeDMatch.py:126-127).
+    ``rotation='axis'`` (default) reproduces the reference's train-time
+    distribution exactly (reference: datasets/ThreeDMatch.py:14-32,117-127):
+    the source cloud keeps the shared world orientation, and the target gets
+    ONE rotation about a random principal axis plus a uniform translation in
+    [0, augment_translation)^3 — the invariance class the reference network
+    actually learns. ``rotation='so3'`` places BOTH clouds in independent
+    proper SO(3) frames (a strictly harder task than the reference's;
+    useful for robustness studies, not for parity training — full-SO(3)
+    framing was measured to stall training at D_pos == D_neg).
+
+    Correspondences are subsampled to ``num_corr`` and per-point uniform
+    [0, noise) jitter matches reference ThreeDMatch.py:125-126;
+    ``dist_keypts`` is computed from the noised source keypoints exactly as
+    reference ThreeDMatch.py:135 does.
     """
-    from d3feat_tpu.data.augment import random_so3
+    from d3feat_tpu.data.augment import augment_pair, random_so3
 
     sel = pairs
     if len(sel) > num_corr:
         sel = sel[rng.choice(len(sel), num_corr, replace=False)]
-    c0 = w0.mean(axis=0, keepdims=True)
-    c1 = w1.mean(axis=0, keepdims=True)
-    q0 = random_so3(rng)
-    q1 = random_so3(rng)
-    pts0 = ((w0 - c0) @ q0).astype(np.float32)
-    pts1 = ((w1 - c1) @ q1).astype(np.float32)
-    if noise > 0.0:
-        pts0 = pts0 + rng.random(pts0.shape, dtype=np.float32) * noise
-        pts1 = pts1 + rng.random(pts1.shape, dtype=np.float32) * noise
+    c = w0.mean(axis=0, keepdims=True)  # shared frame: one common recenter
+    if rotation == "axis":
+        pts0, pts1, _ = augment_pair(
+            rng, w0 - c, w1 - c, augment_noise=noise, augment_axis=1,
+            augment_rotation=augment_rotation,
+            augment_translation=augment_translation)
+    else:  # 'so3': independent full-rotation frames (harder than reference)
+        c1 = w1.mean(axis=0, keepdims=True)
+        pts0 = ((w0 - c) @ random_so3(rng)).astype(np.float32)
+        pts1 = ((w1 - c1) @ random_so3(rng)).astype(np.float32)
+        if noise > 0.0:
+            pts0 = pts0 + rng.random(pts0.shape, dtype=np.float32) * noise
+            pts1 = pts1 + rng.random(pts1.shape, dtype=np.float32) * noise
 
     kp = pts0[sel[:, 0]]
     dist_keypts = np.linalg.norm(
         kp[:, None] - kp[None], axis=-1).astype(np.float32)
-    return pts0, pts1, sel.astype(np.int32), dist_keypts
+    return pts0.astype(np.float32), pts1.astype(np.float32), \
+        sel.astype(np.int32), dist_keypts
 
 
 def scan_pair(
@@ -337,16 +463,18 @@ class DiskScanPairDataset:
     the expensive half (fused scans + candidate correspondences,
     :func:`scan_pair_world`) as ``.npz`` files, and this dataset applies
     only the cheap per-visit augmentation at load time
-    (:func:`frame_scan_pair`: fresh proper-SO(3) frames, correspondence
-    subsample, point noise) — every visit of the same scene is a distinct
-    training pair. The file list refreshes on every ``len()`` (i.e. each
+    (:func:`frame_scan_pair`: reference-distribution SE(3) framing,
+    correspondence subsample, point noise) — every visit of the same scene
+    is a distinct training pair. The file list refreshes on every ``len()`` (i.e. each
     loader epoch), so the corpus can keep GROWING while training runs.
     """
 
     VAL_MOD = 50  # scene files with number % VAL_MOD == 0 are validation
 
     def __init__(self, root: str, num_corr: int = 128, seed: int = 0,
-                 noise: float = 0.005, role: str = "all"):
+                 noise: float = 0.005, role: str = "all",
+                 rotation: str = "axis", augment_rotation: float = 1.0,
+                 augment_translation: float = 0.5):
         import threading
 
         assert role in ("all", "train", "val")
@@ -355,6 +483,9 @@ class DiskScanPairDataset:
         self.seed = seed
         self.noise = noise
         self.role = role
+        self.rotation = rotation
+        self.augment_rotation = augment_rotation
+        self.augment_translation = augment_translation
         self._files: list = []
         self._visits = 0
         self._lock = threading.Lock()
@@ -395,7 +526,9 @@ class DiskScanPairDataset:
             self._visits += 1
         rng = np.random.default_rng((self.seed, index, visit))
         pts0, pts1, corr, dk = frame_scan_pair(
-            rng, w0, w1, pairs, num_corr=self.num_corr, noise=self.noise)
+            rng, w0, w1, pairs, num_corr=self.num_corr, noise=self.noise,
+            rotation=self.rotation, augment_rotation=self.augment_rotation,
+            augment_translation=self.augment_translation)
         f0 = np.ones((len(pts0), 1), np.float32)
         f1 = np.ones((len(pts1), 1), np.float32)
         return pack_pair(

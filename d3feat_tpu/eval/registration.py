@@ -92,6 +92,9 @@ class SceneResult:
     avg_inlier_ratio: float
     gt_pairs: int
     matched_pairs: int
+    # per-pair inlier ratios keyed "i_j": the distribution behind the
+    # recall number, for statistically meaningful A/B comparisons
+    pair_ratios: "Dict[str, float]" = None
 
 
 def register_scene(
@@ -111,6 +114,7 @@ def register_scene(
     pred_matches = 0
     inlier_num = AverageMeter()
     inlier_ratio = AverageMeter()
+    pair_ratios: Dict[str, float] = {}
 
     # cache per-fragment keypoint selections (same selection for every pair,
     # as in the reference where scores are fixed per fragment)
@@ -145,12 +149,14 @@ def register_scene(
                 pred_matches += 1
             inlier_num.update(num_in)
             inlier_ratio.update(ratio)
+            pair_ratios[key] = float(ratio)
 
     recall = pred_matches * 100.0 / max(gt_matches, 1)
     return SceneResult(
         scene=scene, recall=recall,
         avg_inlier_num=inlier_num.avg, avg_inlier_ratio=inlier_ratio.avg,
         gt_pairs=gt_matches, matched_pairs=pred_matches,
+        pair_ratios=pair_ratios,
     )
 
 

@@ -350,17 +350,17 @@ def band_conv_eligible(spec: BlockSpec, batch, config, train: bool) -> bool:
         return False
     if config.KP_influence != "linear" or config.aggregation_mode != "sum":
         return False
-    # the kernel holds the [KP, Cin_pad128, Cout] weights in VMEM: deep
-    # levels (large dims, few points) stay on the XLA gather path
+    # the kernel holds the [KP, Cin_pad128, Cout] weights in VMEM; the
+    # kernels raise Mosaic's scoped-VMEM limit to fit deep-layer panels
+    # (L4's 15 x 512 x 512 f32 = 15.7 MB), so only configurations beyond
+    # ``bandconv_max_panel_mb`` fall back to the XLA gather path
     cin = spec.in_dim if spec.kind == "simple" else spec.out_dim // 4
     cout = spec.out_dim // 2 if spec.kind == "simple" else spec.out_dim // 4
     cin_p = -(-cin // 128) * 128
-    if config.num_kernel_points * cin_p * cout * 4 > 2 * 1024 * 1024:
+    panel_mb = config.num_kernel_points * cin_p * cout * 4 / (1024 * 1024)
+    if panel_mb > getattr(config, "bandconv_max_panel_mb", 24.0):
         return False
-    import os
-
-    max_layer = int(os.environ.get("D3F_BANDCONV_MAX_LAYER", "99"))
-    if spec.layer > max_layer:
+    if spec.layer > getattr(config, "bandconv_max_layer", 99):
         return False
     # a deformable block elsewhere on this level widens the level's search
     # radius by deform_radius/conv_radius; apply_band_kpconv computes its

@@ -53,8 +53,11 @@ def _pick_chunk(band_cap: int) -> int:
     return band_cap
 
 
-CHUNK = 256  # preferred band chunk rows; level_band_cap rounds caps to 256,
-# so chunked DMA never overruns the level's band padding
+# Mosaic's default scoped-VMEM limit is 16 MB; deep-layer weight panels
+# (L4: 15 x 512 x 512 f32 = 15.7 MB) plus scratch need more. v5e has
+# 128 MB VMEM/core and the band/chunk buffers are small, so a generous
+# limit is safe — it is a guard, not an allocation.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 _BIG = 1.0e10  # masked-out squared distance: sqrt -> 1e5 >> extent, w == 0
 
@@ -330,6 +333,7 @@ def band_conv(
             jax.ShapeDtypeStruct((nq, cout), jnp.float32),
             jax.ShapeDtypeStruct((8, nq), jnp.float32),
         ],
+        compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
     )(
         starts.astype(jnp.int32),
@@ -527,6 +531,7 @@ def _bwd_call(q_packed, neighb_sorted, s_packed, x_sorted,
         # buffer to the dx output (output 1): zero-initialized accumulation
         # target
         input_output_aliases={10: 1},
+        compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
     )(
         starts.astype(jnp.int32), ends.astype(jnp.int32),

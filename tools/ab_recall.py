@@ -53,8 +53,19 @@ from d3feat_tpu.ops import build_pyramid, make_pyramid_spec  # noqa: E402
 REF = "/root/reference"
 
 
-def make_scene(rng, n_frags, resolution, downsample=0.03):
-    """Fragments in local frames + exact gt poses + overlap fractions."""
+def make_scene(rng, n_frags, resolution, downsample=0.03, frame="axis"):
+    """Fragments in local frames + exact gt poses + overlap fractions.
+
+    ``frame`` picks the per-fragment frame distribution: ``'axis'``
+    (default) rotates each fragment about one random principal axis — the
+    invariance class the reference's training augmentation covers
+    (reference: datasets/ThreeDMatch.py:14-28; its non-rotated 3DMatch
+    benchmark likewise has limited relative rotations — the SAME pretrained
+    model collapses on the fully-rotated variant). ``'so3'`` uses uniform
+    proper rotations (the harder, rotated-benchmark analogue).
+    """
+    from d3feat_tpu.data.augment import random_rotation
+
     room = make_room(rng)
     lo, hi = room[0], room[1]
     center = (lo + hi) / 2.0
@@ -70,7 +81,8 @@ def make_scene(rng, n_frags, resolution, downsample=0.03):
                 _fused_views(rng, room, eye, tgt, 3, resolution), downsample)
         world.append(w)
         c = w.mean(axis=0)
-        q = random_so3(rng)  # proper rotation: frames are rigid motions
+        # proper rotation either way: frames are rigid motions
+        q = random_so3(rng) if frame == "so3" else random_rotation(rng, 1)
         frames.append((q, c))
 
     frags = [((w - c) @ q).astype(np.float32)
@@ -123,7 +135,7 @@ def torch_batch(torch, pyr, features):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--fragments", type=int, default=8)
+    ap.add_argument("--fragments", type=int, default=24)
     ap.add_argument("--resolution", type=int, nargs=2, default=[120, 90])
     ap.add_argument("--num_layers", type=int, default=5)
     ap.add_argument("--first_features_dim", type=int, default=128)
@@ -136,6 +148,9 @@ def main():
     ap.add_argument("--snapshot", type=str, default=None,
                     help="our snapshot dir (e.g. runs/scan_long/scan_long)")
     ap.add_argument("--snapshot_name", type=str, default="model_best_loss")
+    ap.add_argument("--frame", type=str, default="axis",
+                    choices=["axis", "so3"],
+                    help="per-fragment frame distribution (see make_scene)")
     args = ap.parse_args()
 
     sys.path.insert(0, REF)
@@ -146,7 +161,7 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     frags, poses, overlaps = make_scene(
-        rng, args.fragments, tuple(args.resolution))
+        rng, args.fragments, tuple(args.resolution), frame=args.frame)
     print(f"scene: {len(frags)} fragments "
           f"({[len(f) for f in frags]}), {len(poses)} gt pairs")
 
@@ -226,12 +241,26 @@ def main():
                               num_points=args.num_points)
     res_ref = register_scene(feats_ref, poses, scene="ab-ref",
                              num_points=args.num_points)
+    # per-pair inlier-ratio distributions: the statistically meaningful
+    # comparison behind the binary recall (a 0.0 gap over a handful of
+    # pairs proves little; matched per-pair ratios over >=50 pairs do)
+    keys = sorted(res_ours.pair_ratios)
+    ro = np.array([res_ours.pair_ratios[k] for k in keys])
+    rr = np.array([res_ref.pair_ratios[k] for k in keys])
+    pct = lambda a, q: float(np.percentile(a, q)) if len(a) else 0.0
+
     out = {
         "gt_pairs": res_ours.gt_pairs,
         "recall_ours": res_ours.recall,
         "recall_ref": res_ref.recall,
         "inlier_ratio_ours": res_ours.avg_inlier_ratio,
         "inlier_ratio_ref": res_ref.avg_inlier_ratio,
+        "inlier_ratio_pcts_ours": {q: pct(ro, q) for q in (10, 25, 50, 75, 90)},
+        "inlier_ratio_pcts_ref": {q: pct(rr, q) for q in (10, 25, 50, 75, 90)},
+        "pairwise_ratio_mean_abs_diff": float(np.mean(np.abs(ro - rr)))
+        if len(ro) else 0.0,
+        "pairwise_ratio_max_abs_diff": float(np.max(np.abs(ro - rr)))
+        if len(ro) else 0.0,
         "abs_recall_gap": abs(res_ours.recall - res_ref.recall),
         "target_gap": 0.5,
         "weights": (f"TPU-trained snapshot {args.snapshot} exported to torch"

@@ -1,0 +1,274 @@
+"""MFU / roofline accounting for the serving extract pipeline.
+
+Per pipeline section: measured device time (perfetto trace of the warm
+extract step), analytic FLOPs and HBM bytes computed from the REAL band
+occupancies of the bench fragment (not static caps), achieved TFLOP/s and
+GB/s, and percent of the per-section roofline bound. One honest table +
+the overall single-chip MFU.
+
+Peaks (TPU v5e, one chip): 197 TFLOP/s bf16 MXU (f32 dots run at bf16
+rate under --xla_allow_excess_precision, ROUND2_NOTES bf16 section),
+~819 GB/s HBM.
+
+Run on the chip: python tools/mfu_report.py      (writes MFU.md)
+"""
+
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from d3feat_tpu.config import D3FeatConfig, PyramidCaps
+from d3feat_tpu.data.pack import pack_fragments
+from d3feat_tpu.data.synthetic import scan_fragment
+from d3feat_tpu.models.kpfcnn import make_kpfcnn_specs
+from d3feat_tpu.models.blocks import band_conv_eligible, band_query_tiles
+from d3feat_tpu.ops import build_pyramid, make_pyramid_spec
+from d3feat_tpu.ops.pallas.band_conv import _pick_chunk
+from d3feat_tpu.ops.pyramid import level_band_cap
+from d3feat_tpu.train.step import init_train_state, make_extract_step
+
+PEAK_FLOPS = 197e12   # bf16 MXU, one v5e chip
+PEAK_BW = 819e9       # HBM GB/s
+STEPS = 5
+
+# ---------------------------------------------------------------- analytic
+
+
+def band_conv_cost(spec, pyr, cfg, num_clouds):
+    """(flops, hbm_bytes) of one fused band conv from REAL occupancies."""
+    l = spec.layer
+    q_level = l + 1 if spec.strided else l
+    qb = {k: np.asarray(v) for k, v in pyr["band"][q_level].items()}
+    sb = {k: np.asarray(v) for k, v in pyr["band"][l].items()}
+    s_rows = sb["s_packed"].shape[0]
+    T = 128 if spec.strided else 256
+    r = spec.radius
+    qp, starts, ends, _, _, _ = band_query_tiles(
+        {k: jnp.asarray(v) for k, v in qb.items()},
+        {k: jnp.asarray(v) for k, v in sb.items()},
+        num_clouds, r, T, s_rows)
+    starts = (np.asarray(starts) // 8) * 8
+    ratio = max(1, -(-sb["q_packed"].shape[1] // qb["q_packed"].shape[1]))
+    cap = level_band_cap(s_rows - (s_rows % 8), num_clouds,
+                         getattr(cfg, "band_frac", 0.1), tile=T, ratio=ratio)
+    chunk = _pick_chunk(cap)
+    ends = np.clip(np.asarray(ends), starts, starts + cap)
+    n_chunks = np.ceil((ends - starts) / chunk).astype(np.int64)
+
+    if spec.kind == "simple":
+        cin, cout = spec.in_dim, spec.out_dim // 2
+    else:
+        cin = cout = spec.out_dim // 4
+    cin_p = -(-cin // 128) * 128
+    kp = cfg.num_kernel_points
+    rows = int(n_chunks.sum()) * chunk          # band rows processed
+    # per chunk per kp: [T, CHUNK] @ [CHUNK, Cpad] and [T, Cpad] @ [Cpad, Cout]
+    flops = 2 * kp * (rows * T * cin_p + int(n_chunks.sum()) * T * cin_p * cout)
+    # DMA: coords [CHUNK,128] f32 + features [CHUNK,Cpad] f32 per chunk
+    bytes_ = rows * (128 + cin_p) * 4
+    return flops, bytes_
+
+
+def xla_conv_cost(spec, lengths, cfg):
+    """(flops, bytes) of one XLA gather-path conv (deep levels)."""
+    l = spec.layer
+    q_level = l + 1 if spec.strided else l
+    nq = int(np.sum(lengths[q_level]))
+    k = cfg.caps.neighbors[l]
+    if spec.kind == "simple":
+        cin, cout = spec.in_dim, spec.out_dim // 2
+    else:
+        cin = cout = spec.out_dim // 4
+    kp = cfg.num_kernel_points
+    flops = 2 * nq * kp * k * cin + 2 * nq * kp * cin * cout
+    bytes_ = nq * k * cin * 4 * 2  # gather read + weighted write (approx)
+    return flops, bytes_
+
+
+def unary_cost(spec, lengths):
+    n = int(np.sum(lengths[spec.layer]))
+    return 2 * n * spec.in_dim * spec.out_dim, n * (spec.in_dim + spec.out_dim) * 4
+
+
+# ---------------------------------------------------------------- buckets
+
+BUCKETS = (
+    ("band_conv kernels", r"band_conv\.py"),
+    ("select kernels", r"select\.py"),
+    ("detector head kernel", r"head\.py"),
+    ("eval local-max gate", r"kpfcnn\.py:(23[0-9]|24[0-9])"),
+    ("shortcut max_pool", r"blocks\.py:(8[5-9]|9[0-9])"),
+    ("voxel subsample", r"subsample\.py"),
+    ("level sorts + search misc", r"neighbors\.py"),
+    ("XLA convs (deep)", r"kpconv\.py"),
+    ("unary / linear", r"blocks\.py"),
+    ("detector head (XLA part)", r"kpfcnn\.py"),
+)
+
+
+def bucket_of(src):
+    for name, pat in BUCKETS:
+        if re.search(pat, src):
+            return name
+    return "other"
+
+
+def main():
+    cfg = D3FeatConfig()
+    cfg.caps = PyramidCaps(points=(16384, 8192, 2048, 768, 256),
+                           neighbors=(40,) * 5, corr=128)
+    cfg.query_tile = 512
+
+    rng = np.random.default_rng(0)
+    f = scan_fragment(rng)
+    while not (12000 <= len(f) <= 16000):
+        f = scan_fragment(rng)
+    b = pack_fragments([f], point_capacity=16384, num_clouds=2)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+
+    # ---- analytic FLOPs/bytes from the real pyramid
+    spec = make_pyramid_spec(cfg, num_clouds=2)
+    pyr = dict(build_pyramid(batch["points"], batch["lengths"], spec=spec))
+    assert not bool(pyr["overflow"])
+    lengths = [np.asarray(ln) for ln in pyr["lengths"]]
+    specs = make_kpfcnn_specs(cfg)
+
+    ana = defaultdict(lambda: [0, 0])  # bucket -> [flops, bytes]
+    for s in list(specs.encoder) + list(specs.decoder):
+        if s.kind in ("simple", "resnetb"):
+            if band_conv_eligible(s, pyr, cfg, train=False):
+                fl, by = band_conv_cost(s, pyr, cfg, 2)
+                ana["band_conv kernels"][0] += fl
+                ana["band_conv kernels"][1] += by
+            else:
+                fl, by = xla_conv_cost(s, lengths, cfg)
+                ana["XLA convs (deep)"][0] += fl
+                ana["XLA convs (deep)"][1] += by
+            # resnetb unaries (in->out/4, out/4->out, shortcut)
+            if s.kind == "resnetb":
+                n_in = int(np.sum(lengths[s.layer]))
+                n_out = int(np.sum(lengths[s.layer + 1 if s.strided
+                                           else s.layer]))
+                c4 = s.out_dim // 4
+                fl = (2 * n_in * s.in_dim * c4 + 2 * n_out * c4 * s.out_dim
+                      + (2 * n_out * s.in_dim * s.out_dim
+                         if s.in_dim != s.out_dim else 0))
+                ana["unary / linear"][0] += fl
+        elif s.kind in ("unary", "last_unary"):
+            fl, by = unary_cost(s, lengths)
+            ana["unary / linear"][0] += fl
+            ana["unary / linear"][1] += by
+
+    # gate + max_pool + head byte estimates (gather volumes)
+    n0 = int(np.sum(lengths[0]))
+    k0 = cfg.caps.neighbors[0]
+    ana["eval local-max gate"][1] = n0 * k0 * 32 * 4
+    for s in specs.encoder:
+        if s.kind == "resnetb" and s.strided:
+            nq = int(np.sum(lengths[s.layer + 1]))
+            ana["shortcut max_pool"][1] += nq * cfg.caps.neighbors[s.layer] \
+                * s.in_dim * 4
+    ana["detector head kernel"][1] = n0 * (128 + 128) * 4  # band DMA approx
+
+    # ---- measured: trace the warm extract step
+    ts, _ = init_train_state(jax.random.key(0), cfg)
+    extract = jax.jit(make_extract_step(cfg, make_kpfcnn_specs(cfg),
+                                        num_clouds=2))
+    out = extract(ts.params, ts.model_state, batch)
+    jax.block_until_ready(out)
+
+    trace_dir = "/tmp/jtrace_mfu"
+    os.system(f"rm -rf {trace_dir}")
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(STEPS):
+        out = extract(ts.params, ts.model_state, batch)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+
+    # join op time with HLO source metadata (same method as profile_agg)
+    lowered = extract.lower(ts.params, ts.model_state, batch)
+    hlo = lowered.compile().as_text()
+    src_of = {}
+    for m in re.finditer(
+            r'%?([\w.\-]+) = [^\n]*metadata={[^}]*source_file="([^"]+)"'
+            r'[^}]*source_line=(\d+)', hlo):
+        src_of[m.group(1)] = (os.path.basename(m.group(2))
+                              + ":" + m.group(3))
+
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    ev = json.load(gzip.open(files[0]))["traceEvents"]
+    meas = defaultdict(float)
+    total = 0.0
+    for e in ev:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        name = e.get("name", "")
+        if name.startswith(("jit_", "Pjit", "$", "ParseArguments")) \
+                or "stop_trace" in name:
+            continue
+        src = src_of.get(name, src_of.get(name.split(".")[0], ""))
+        meas[bucket_of(src) if src else "other"] += e["dur"]
+        total += e["dur"]
+
+    us = {k: v / STEPS for k, v in meas.items()}
+    total_us = total / STEPS
+
+    rows = []
+    tot_fl = tot_by = 0
+    for name in [b[0] for b in BUCKETS] + ["other"]:
+        t = us.get(name, 0.0)
+        fl, by = ana.get(name, (0, 0))
+        tot_fl += fl
+        tot_by += by
+        tf = fl / (t * 1e-6) / 1e12 if t else 0.0
+        gb = by / (t * 1e-6) / 1e9 if t else 0.0
+        bound = max(fl / PEAK_FLOPS, by / PEAK_BW) * 1e6  # us at roofline
+        rows.append((name, t, fl / 1e9, by / 1e6, tf, gb,
+                     100.0 * bound / t if t else 0.0))
+
+    hdr = (f"{'section':<28} {'us/frag':>8} {'GFLOP':>7} {'MB':>7} "
+           f"{'TFLOP/s':>8} {'GB/s':>7} {'%roofline':>9}")
+    lines = [hdr, "-" * len(hdr)]
+    for name, t, gfl, mb, tf, gb, pct in rows:
+        lines.append(f"{name:<28} {t:8.0f} {gfl:7.2f} {mb:7.1f} "
+                     f"{tf:8.2f} {gb:7.1f} {pct:9.1f}")
+    mfu = tot_fl / (total_us * 1e-6) / PEAK_FLOPS * 100.0
+    lines.append("-" * len(hdr))
+    lines.append(
+        f"{'TOTAL':<28} {total_us:8.0f} {tot_fl / 1e9:7.2f} "
+        f"{tot_by / 1e6:7.1f}   overall MFU {mfu:.2f}% of bf16 peak")
+    table = "\n".join(lines)
+    print(table)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "MFU.md"), "w") as fh:
+        fh.write(
+            "# Single-chip MFU / roofline — serving extract (one ~14k-pt "
+            "fragment)\n\n"
+            "Measured on TPU v5e (one chip) from a perfetto trace of the "
+            "warm extract step;\nFLOPs/bytes computed analytically from "
+            "the fragment's REAL band occupancies\n(tools/mfu_report.py). "
+            "`%roofline` = per-section roofline-bound time / measured "
+            "time.\n\n```\n" + table + "\n```\n\n"
+            "The pipeline is NOT MXU-bound: the useful conv FLOPs are "
+            "small at these\npoint counts, and the time goes to "
+            "selection/influence VPU work, sorts and\ngathers. The honest "
+            "MFU number above reflects that; the per-section table\nshows "
+            "which sections sit at their own roofline.\n")
+    print("\nwrote MFU.md")
+
+
+if __name__ == "__main__":
+    main()

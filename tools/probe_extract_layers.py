@@ -7,8 +7,7 @@ from d3feat_tpu.data.pack import pack_single
 from d3feat_tpu.data.synthetic import synthetic_fragment
 from d3feat_tpu.train.step import init_train_state, make_extract_step
 
-max_layer = sys.argv[1]
-os.environ["D3F_BANDCONV_MAX_LAYER"] = max_layer
+max_layer = int(sys.argv[1])
 rng = np.random.default_rng(0)
 pts = synthetic_fragment(rng, 15000, extent=3.0)
 b = pack_single(pts, np.ones((15000,1),np.float32), point_capacity=16384)
@@ -16,6 +15,7 @@ batch = {k: jnp.asarray(v) for k, v in b.items()}
 cfg = D3FeatConfig()
 cfg.caps = PyramidCaps(points=(16384, 8192, 2048, 768, 256), neighbors=(40,)*5, corr=128)
 cfg.query_tile = 512
+cfg.bandconv_max_layer = max_layer
 ts, specs = init_train_state(jax.random.key(0), cfg)
 extract = jax.jit(make_extract_step(cfg, specs))
 try:

@@ -39,10 +39,35 @@ while not (12000 <= len(f) <= 16000):
 b = pack_fragments([f], point_capacity=16384, num_clouds=2)
 batch = {k: jnp.asarray(v) for k, v in b.items()}
 
-ts, specs = init_train_state(jax.random.key(0), cfg)
-extract = jax.jit(make_extract_step(cfg, specs, num_clouds=2))
+TRAIN = "--train" in sys.argv
 
-lowered = extract.lower(ts.params, ts.model_state, batch).compile()
+ts, specs = init_train_state(jax.random.key(0), cfg)
+if TRAIN:
+    from d3feat_tpu.data.synthetic import scan_pair
+    from d3feat_tpu.data.pack import pack_pair
+    from d3feat_tpu.train.step import make_train_step
+
+    rng2 = np.random.default_rng(1)
+    p0, p1, corr, dk = scan_pair(rng2)
+    bp = pack_pair(p0, p1, np.ones((len(p0), 1), np.float32),
+                   np.ones((len(p1), 1), np.float32), corr, dk,
+                   point_capacity=2 * 16384, corr_capacity=128)
+    cfg.caps = PyramidCaps(points=(32768, 16384, 4096, 1536, 512),
+                           neighbors=(40,) * 5, corr=128)
+    batch = {k: jnp.asarray(v) for k, v in bp.items()}
+    tstep = jax.jit(make_train_step(cfg))
+    epoch0 = jnp.int32(0)
+
+    def extract(ts_, ms_, b_):  # same call surface for the loop below
+        nonlocal_ts, m = tstep(run_state[0], b_, epoch0)
+        run_state[0] = nonlocal_ts
+        return m
+
+    run_state = [ts]
+    lowered = tstep.lower(ts, batch, epoch0).compile()
+else:
+    extract = jax.jit(make_extract_step(cfg, specs, num_clouds=2))
+    lowered = extract.lower(ts.params, ts.model_state, batch).compile()
 hlo = lowered.as_text()
 
 # map every named HLO op -> source_file:line (+ op_name hint)

@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--fragments", type=int, default=8)
     ap.add_argument("--num_points", type=int, default=250)
     ap.add_argument("--seed", type=int, default=424242)  # held-out scene
+    ap.add_argument("--frame", type=str, default="axis",
+                    choices=["axis", "so3"],
+                    help="per-fragment frame distribution (see make_scene)")
+    ap.add_argument("--scenes", type=int, default=1,
+                    help="number of held-out scenes (seed, seed+1, ...)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.join(
@@ -62,15 +67,23 @@ def main():
     trained, meta = mgr.restore(args.name, ts)
     print("loaded", args.name, "meta:", meta)
 
-    rng = np.random.default_rng(args.seed)
-    frags, poses, overlaps = make_scene(rng, args.fragments, (120, 90))
-    print(f"scene: {len(frags)} fragments ({[len(f) for f in frags]})")
+    scenes = []
+    for s in range(args.scenes):
+        rng = np.random.default_rng(args.seed + s)
+        frags, poses, overlaps = make_scene(rng, args.fragments, (120, 90),
+                                            frame=args.frame)
+        print(f"scene {s}: {len(frags)} fragments "
+              f"({[len(f) for f in frags]}), {len(poses)} gt pairs")
+        scenes.append((frags, poses))
 
     results = {}
+    agg = {}
     for tag, params, model_state in (
         ("init", ts.params, ts.model_state),
         ("trained", trained.params, trained.model_state),
     ):
+      recalls, ratios, acc_all, gt_total = [], [], [], 0
+      for s, (frags, poses) in enumerate(scenes):
         feats = FragmentFeatures()
         for i, pts in enumerate(frags):
             n = len(pts)
@@ -106,7 +119,7 @@ def main():
                 feats_i = feats_i[inv0]
                 scores_i = scores_i[inv0]
             feats.add(i, pts, feats_i[:n], scores_i[:n, 0])
-        res = register_scene(feats, poses, scene=f"after-train-{tag}",
+        res = register_scene(feats, poses, scene=f"after-train-{tag}-{s}",
                              num_points=args.num_points)
         # descriptor accuracy on exact GT correspondences (the trainer's
         # accuracy semantic, reference trainer.py:140-195): anchor matched
@@ -132,15 +145,24 @@ def main():
             # 1-NN among the sampled positives (matched-pair accuracy)
             accs.append(float(np.mean(np.argmin(d, axis=1)
                                       == np.arange(len(sel)))))
-        results[tag] = {
-            "recall": res.recall,
-            "avg_inlier_ratio": res.avg_inlier_ratio,
-            "gt_match_accuracy": float(np.mean(accs)) if accs else 0.0,
-        }
-        print(tag, results[tag])
+        recalls.append(res.recall)
+        ratios.append(res.avg_inlier_ratio)
+        acc_all.extend(accs)
+        gt_total += len(poses)
+        print(f"  {tag} scene {s}: recall {res.recall:.1f} "
+              f"inlier_ratio {res.avg_inlier_ratio:.4f}")
+      results[tag] = {
+          "recall": float(np.mean(recalls)),
+          "avg_inlier_ratio": float(np.mean(ratios)),
+          "gt_match_accuracy": float(np.mean(acc_all)) if acc_all else 0.0,
+      }
+      agg[tag] = {"per_scene_recall": recalls}
+      print(tag, results[tag])
 
     out = {
-        "gt_pairs": len(poses),
+        "gt_pairs": gt_total,
+        "frame": args.frame,
+        "per_scene_recall": agg,
         "snapshot": os.path.join(args.snapshot, args.name),
         "epochs_meta": meta,
         **{f"{k}_{t}": v for t, r in results.items() for k, v in r.items()},

@@ -32,12 +32,15 @@ def make_loaders(config, synthetic: bool, scan: bool = False,
 
         # per-visit augmentation makes every epoch fresh; the corpus dir
         # may keep growing under a concurrent tools/gen_corpus.py
+        aug = dict(noise=config.augment_noise,
+                   augment_rotation=config.augment_rotation,
+                   augment_translation=config.augment_translation)
         train_ds = DiskScanPairDataset(
             corpus, num_corr=config.num_node, seed=config.seed,
-            noise=config.augment_noise, role="train")
+            role="train", **aug)
         val_ds = DiskScanPairDataset(
             corpus, num_corr=64, seed=config.seed + 7919,
-            noise=config.augment_noise, role="val")
+            role="val", **aug)
     elif scan:
         from d3feat_tpu.data.synthetic import ScanPairDataset
 
