@@ -26,6 +26,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Host-side tool: pin jax to CPU via the config API BEFORE anything touches
+# jax.devices(). The harness presets JAX_PLATFORMS=axon and its sitecustomize
+# freezes that into jax.config at interpreter start, so env vars cannot
+# override it — and an axon-platform jax.devices() call DIALS THE TPU TUNNEL
+# (blocking forever if another process holds the single chip).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -62,7 +71,24 @@ def main():
         except RuntimeError:
             skipped += 1
             continue
-        if len(w0) + len(w1) > args.max_points or len(pairs) < args.min_corr:
+        total = len(w0) + len(w1)
+        if total > args.max_points:
+            # proportional random subsample to the budget (the reference's
+            # points_lim crop, reference: datasets/ThreeDMatch.py:27-43);
+            # correspondences hitting dropped points are dropped with it
+            frac = args.max_points / total
+            keep0 = np.sort(rng.choice(len(w0), int(len(w0) * frac),
+                                       replace=False))
+            keep1 = np.sort(rng.choice(len(w1), int(len(w1) * frac),
+                                       replace=False))
+            inv0 = np.full(len(w0), -1, np.int64)
+            inv0[keep0] = np.arange(len(keep0))
+            inv1 = np.full(len(w1), -1, np.int64)
+            inv1[keep1] = np.arange(len(keep1))
+            pairs = np.stack([inv0[pairs[:, 0]], inv1[pairs[:, 1]]], axis=1)
+            pairs = pairs[(pairs >= 0).all(axis=1)].astype(np.int32)
+            w0, w1 = w0[keep0], w1[keep1]
+        if len(pairs) < args.min_corr:
             skipped += 1
             continue
         # leading dot: must NOT match the dataset's scene_*.npz glob

@@ -34,7 +34,14 @@ def main():
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--num_corr", type=int, default=128)
     ap.add_argument("--log_every", type=int, default=200)
+    ap.add_argument("--platform", type=str, default=None,
+                    help="'cpu' pins jax to the host (config API — the "
+                    "sitecustomize freezes JAX_PLATFORMS, env vars no-op) "
+                    "and shrinks shapes so steps stay tractable")
     args = ap.parse_args()
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     rng = np.random.default_rng(123)
     if args.scene:
@@ -60,11 +67,34 @@ def main():
 
     cfg = D3FeatConfig()
     cfg.lr = args.lr
-    cfg.caps = PyramidCaps(points=(32768, 14336, 4096, 1280, 384),
-                           neighbors=(40,) * 5, corr=args.num_corr)
+    if args.platform == "cpu":
+        # shrink the clouds so a single-core XLA-CPU step stays ~O(100ms):
+        # subsample both clouds, keeping all correspondence endpoints
+        budget = 3000
+        for which in (0, 1):
+            pts = (pts0, pts1)[which]
+            if len(pts) <= budget:
+                continue
+            keep = np.zeros(len(pts), bool)
+            keep[corr[:, which]] = True
+            rest = np.nonzero(~keep)[0]
+            keep[rng.choice(rest, budget - keep.sum(), replace=False)] = True
+            new_idx = np.cumsum(keep) - 1
+            corr[:, which] = new_idx[corr[:, which]]
+            if which == 0:
+                pts0 = pts[keep]
+            else:
+                pts1 = pts[keep]
+        cfg.caps = PyramidCaps(points=(8192, 4096, 1536, 512, 192),
+                               neighbors=(40,) * 5, corr=args.num_corr)
+        cap0 = 8192
+    else:
+        cfg.caps = PyramidCaps(points=(32768, 14336, 4096, 1280, 384),
+                               neighbors=(40,) * 5, corr=args.num_corr)
+        cap0 = 32768
     b = pack_pair(pts0, pts1, np.ones((len(pts0), 1), np.float32),
                   np.ones((len(pts1), 1), np.float32), corr, dk,
-                  point_capacity=32768, corr_capacity=args.num_corr)
+                  point_capacity=cap0, corr_capacity=args.num_corr)
     batch = {k: jnp.asarray(v) for k, v in b.items()}
 
     ts, _ = init_train_state(jax.random.key(0), cfg)
