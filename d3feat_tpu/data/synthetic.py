@@ -326,12 +326,48 @@ def scan_fragment(
     return (pts - pts.mean(axis=0, keepdims=True)).astype(np.float32)
 
 
+def make_warp_field(rng: np.random.Generator, amplitude: float = 1.0):
+    """Per-scene smooth random displacement field R^3 -> R^3.
+
+    Exact geometric primitives make every wall patch a perfect plane, so
+    uniformly-sampled correspondences are locally indistinguishable from
+    far-away negatives and descriptor training stalls at its irreducible
+    loss floor (measured: handcrafted-signature 1-NN accuracy ~7% vs 0.8%
+    chance on the unwarped corpus). Real fused indoor scans are never
+    piecewise-perfect — reconstruction residue and surface detail give
+    every patch unique curvature. This field reproduces that: a sum of
+    random sinusoids (wavelengths 0.10-0.55 m, RMS displacement ~2.4 cm at
+    ``amplitude=1``) warping world space. Because it is a function of
+    world position it is automatically consistent across fused views and
+    across the two fragments of a pair.
+    """
+    n = 12
+    wl = np.exp(rng.uniform(np.log(0.10), np.log(0.55), n))
+    k = rng.normal(size=(n, 3))
+    k /= np.linalg.norm(k, axis=1, keepdims=True)
+    k *= (2.0 * np.pi / wl)[:, None]
+    phase = rng.uniform(0.0, 2.0 * np.pi, n)
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    # longer wavelengths displace more; short ones add curvature detail
+    # (probe_data_discriminability: these parameters at amplitude 1.5-2
+    # lift signature 1-NN accuracy 0.07 -> 0.22)
+    amp = amplitude * 0.015 * (wl / wl.max()) ** 0.5
+
+    def warp(x: np.ndarray) -> np.ndarray:
+        ph = x @ k.T + phase  # [N, n]
+        return (x + (np.sin(ph) * amp) @ dirs).astype(np.float32)
+
+    return warp
+
+
 def scan_pair_world(
     rng: np.random.Generator,
     resolution=(160, 120),
     downsample: float = 0.03,
     max_corr: int = 1024,
     corr_radius: float = 0.0375,
+    warp: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Two overlapping WORLD-FRAME scans of one room + candidate GT pairs.
 
@@ -363,10 +399,13 @@ def scan_pair_world(
         tgt0 = center + rng.uniform(-0.8, 0.8, 3)
         tgt1 = tgt0 + rng.uniform(-0.6, 0.6, 3)
 
-        w0 = voxel_downsample(
-            _fused_views(rng, room, eye0, tgt0, 3, resolution), downsample)
-        w1 = voxel_downsample(
-            _fused_views(rng, room, eye1, tgt1, 3, resolution), downsample)
+        r0 = _fused_views(rng, room, eye0, tgt0, 3, resolution)
+        r1 = _fused_views(rng, room, eye1, tgt1, 3, resolution)
+        if warp > 0.0:
+            f = make_warp_field(rng, amplitude=warp)
+            r0, r1 = f(r0), f(r1)
+        w0 = voxel_downsample(r0, downsample)
+        w1 = voxel_downsample(r1, downsample)
         if len(w0) < 256 or len(w1) < 256:
             continue
 

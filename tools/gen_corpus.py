@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--min-corr", type=int, default=192,
                     help="skip scenes with fewer candidate correspondences")
     ap.add_argument("--resolution", type=int, nargs=2, default=(160, 120))
+    ap.add_argument("--warp", type=float, default=1.5,
+                    help="domain-warp amplitude (synthetic.make_warp_field);"
+                         " 0 disables. Surface detail is what makes the"
+                         " descriptor task learnable on synthetic rooms")
     ap.add_argument("--nice", action="store_true",
                     help="drop process priority to stay out of the way of "
                          "a concurrent training/bench process")
@@ -67,7 +71,8 @@ def main():
         rng = np.random.default_rng(args.seed * 1000003 + i)
         try:
             w0, w1, pairs = scan_pair_world(
-                rng, resolution=tuple(args.resolution), max_corr=1024)
+                rng, resolution=tuple(args.resolution), max_corr=1024,
+                warp=args.warp)
         except RuntimeError:
             skipped += 1
             continue

@@ -14,7 +14,16 @@ import sys
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+
+# Pin the platform BEFORE the d3feat_tpu imports below: the package import
+# chain touches jax.devices(), and with the harness's frozen
+# JAX_PLATFORMS=axon that blocks whenever the chip is held or the claim is
+# wedged. The config API is the only override that works post-freeze.
+if "--platform" in sys.argv:
+    jax.config.update(
+        "jax_platforms", sys.argv[sys.argv.index("--platform") + 1])
+
+import jax.numpy as jnp  # noqa: E402
 
 sys.path.insert(0, "/root/repo")
 from d3feat_tpu.config import D3FeatConfig, PyramidCaps  # noqa: E402
@@ -95,7 +104,7 @@ def main():
     b = pack_pair(pts0, pts1, np.ones((len(pts0), 1), np.float32),
                   np.ones((len(pts1), 1), np.float32), corr, dk,
                   point_capacity=cap0, corr_capacity=args.num_corr)
-    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch = {k: jnp.asarray(v) for k, v in b._asdict().items()}
 
     ts, _ = init_train_state(jax.random.key(0), cfg)
     step = jax.jit(make_train_step(cfg), donate_argnums=0)
