@@ -41,6 +41,7 @@ from d3feat_tpu.data.pack import pack_single  # noqa: E402
 from d3feat_tpu.data.synthetic import (  # noqa: E402
     _fused_views,
     make_room,
+    make_warp_field,
 )
 from d3feat_tpu.data.threedmatch import voxel_downsample  # noqa: E402
 from d3feat_tpu.eval.registration import (  # noqa: E402
@@ -53,7 +54,8 @@ from d3feat_tpu.ops import build_pyramid, make_pyramid_spec  # noqa: E402
 REF = "/root/reference"
 
 
-def make_scene(rng, n_frags, resolution, downsample=0.03, frame="axis"):
+def make_scene(rng, n_frags, resolution, downsample=0.03, frame="axis",
+               warp=0.0):
     """Fragments in local frames + exact gt poses + overlap fractions.
 
     ``frame`` picks the per-fragment frame distribution: ``'axis'``
@@ -69,6 +71,9 @@ def make_scene(rng, n_frags, resolution, downsample=0.03, frame="axis"):
     room = make_room(rng)
     lo, hi = room[0], room[1]
     center = (lo + hi) / 2.0
+    # one field for the whole scene: every fragment sees the same warped
+    # world, exactly like the training corpus (gen_corpus --warp)
+    field = make_warp_field(rng, amplitude=warp) if warp > 0.0 else None
     world, frames = [], []
     for _ in range(n_frags):
         w = np.zeros((0, 3))
@@ -77,8 +82,10 @@ def make_scene(rng, n_frags, resolution, downsample=0.03, frame="axis"):
                               np.maximum(hi - 0.4, lo + 0.5))
             eye[2] = min(eye[2], hi[2] - 0.4)
             tgt = center + rng.uniform(-0.8, 0.8, 3)
-            w = voxel_downsample(
-                _fused_views(rng, room, eye, tgt, 3, resolution), downsample)
+            raw = _fused_views(rng, room, eye, tgt, 3, resolution)
+            if field is not None:
+                raw = field(raw)
+            w = voxel_downsample(raw, downsample)
         world.append(w)
         c = w.mean(axis=0)
         # proper rotation either way: frames are rigid motions
@@ -151,6 +158,10 @@ def main():
     ap.add_argument("--frame", type=str, default="axis",
                     choices=["axis", "so3"],
                     help="per-fragment frame distribution (see make_scene)")
+    ap.add_argument("--warp", type=float, default=0.0,
+                    help="domain-warp amplitude; match the training corpus "
+                         "(gen_corpus --warp) when evaluating a snapshot "
+                         "trained on warped scenes")
     args = ap.parse_args()
 
     sys.path.insert(0, REF)
@@ -161,7 +172,8 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     frags, poses, overlaps = make_scene(
-        rng, args.fragments, tuple(args.resolution), frame=args.frame)
+        rng, args.fragments, tuple(args.resolution), frame=args.frame,
+        warp=args.warp)
     print(f"scene: {len(frags)} fragments "
           f"({[len(f) for f in frags]}), {len(poses)} gt pairs")
 

@@ -53,6 +53,9 @@ def main():
                     help="per-fragment frame distribution (see make_scene)")
     ap.add_argument("--scenes", type=int, default=1,
                     help="number of held-out scenes (seed, seed+1, ...)")
+    ap.add_argument("--warp", type=float, default=0.0,
+                    help="domain-warp amplitude; match the training corpus "
+                         "(gen_corpus --warp)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.join(
@@ -71,7 +74,7 @@ def main():
     for s in range(args.scenes):
         rng = np.random.default_rng(args.seed + s)
         frags, poses, overlaps = make_scene(rng, args.fragments, (120, 90),
-                                            frame=args.frame)
+                                            frame=args.frame, warp=args.warp)
         print(f"scene {s}: {len(frags)} fragments "
               f"({[len(f) for f in frags]}), {len(poses)} gt pairs")
         scenes.append((frags, poses))
