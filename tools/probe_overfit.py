@@ -43,6 +43,15 @@ def main():
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--num_corr", type=int, default=128)
     ap.add_argument("--log_every", type=int, default=200)
+    ap.add_argument("--budget", type=int, default=3000,
+                    help="per-cloud point budget in --platform cpu mode")
+    ap.add_argument("--warp", type=float, default=0.0,
+                    help="domain-warp amplitude for the generated scene "
+                         "(gen_corpus --warp); plane-dominated unwarped "
+                         "scenes cap memorization accuracy — congruent "
+                         "local neighborhoods MUST map to equal "
+                         "descriptors, so batch-hard accuracy cannot "
+                         "reach 100% no matter how sound the pipeline")
     ap.add_argument("--platform", type=str, default=None,
                     help="'cpu' pins jax to the host (config API — the "
                     "sitecustomize freezes JAX_PLATFORMS, env vars no-op) "
@@ -57,7 +66,8 @@ def main():
         with np.load(args.scene) as z:
             w0, w1, pairs = z["w0"], z["w1"], z["pairs"]
     else:
-        w0, w1, pairs = scan_pair_world(rng, resolution=(120, 90))
+        w0, w1, pairs = scan_pair_world(rng, resolution=(120, 90),
+                                        warp=args.warp)
     print(f"scene: {len(w0)} + {len(w1)} pts, {len(pairs)} candidate pairs")
 
     if args.rotation == "none":
@@ -79,7 +89,7 @@ def main():
     if args.platform == "cpu":
         # shrink the clouds so a single-core XLA-CPU step stays ~O(100ms):
         # subsample both clouds, keeping all correspondence endpoints
-        budget = 3000
+        budget = args.budget
         for which in (0, 1):
             pts = (pts0, pts1)[which]
             if len(pts) <= budget:
@@ -94,9 +104,14 @@ def main():
                 pts0 = pts[keep]
             else:
                 pts1 = pts[keep]
-        cfg.caps = PyramidCaps(points=(8192, 4096, 1536, 512, 192),
-                               neighbors=(40,) * 5, corr=args.num_corr)
-        cap0 = 8192
+        if budget <= 1600:
+            cfg.caps = PyramidCaps(points=(4096, 3072, 1536, 640, 256),
+                                   neighbors=(48,) * 5, corr=args.num_corr)
+            cap0 = 4096
+        else:
+            cfg.caps = PyramidCaps(points=(8192, 4096, 1536, 512, 192),
+                                   neighbors=(40,) * 5, corr=args.num_corr)
+            cap0 = 8192
     else:
         cfg.caps = PyramidCaps(points=(32768, 14336, 4096, 1280, 384),
                                neighbors=(40,) * 5, corr=args.num_corr)
