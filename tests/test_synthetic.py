@@ -1,0 +1,77 @@
+"""Synthetic scan-data generators: warp field, world-frame scenes, corpus split.
+
+The domain-warp field is load-bearing for training (unwarped primitive
+rooms are piecewise-perfect planes and descriptor training stalls — see
+d3feat_tpu/data/synthetic.py:make_warp_field docstring), so its contract
+is pinned here: deterministic per seed, a pure function of world position
+(fused-view / cross-fragment consistency), smooth at surface-detail
+scale, and with RMS displacement that scales with amplitude.
+"""
+
+import numpy as np
+import pytest
+
+from d3feat_tpu.data.synthetic import (
+    DiskScanPairDataset,
+    make_warp_field,
+    scan_pair_world,
+)
+
+
+def test_warp_field_deterministic_and_positional():
+    f1 = make_warp_field(np.random.default_rng(7), amplitude=1.5)
+    f2 = make_warp_field(np.random.default_rng(7), amplitude=1.5)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.0, 3.0, (512, 3)).astype(np.float32)
+    np.testing.assert_array_equal(f1(x), f2(x))
+    # pure function of world position: the same point warps identically
+    # regardless of which array (fragment / fused view) it arrives in
+    both = np.concatenate([x[:10], x])
+    np.testing.assert_array_equal(f1(both)[:10], f1(x[:10]))
+
+
+def test_warp_field_magnitude_and_smoothness():
+    rng_pts = np.random.default_rng(1)
+    x = rng_pts.uniform(0.0, 3.0, (4096, 3)).astype(np.float32)
+    rms = {}
+    for amp in (1.0, 2.0):
+        f = make_warp_field(np.random.default_rng(3), amplitude=amp)
+        d = f(x) - x
+        rms[amp] = float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
+    # documented: RMS displacement ~2.4 cm at amplitude=1, linear in amp
+    assert 0.01 < rms[1.0] < 0.05
+    assert rms[2.0] == pytest.approx(2.0 * rms[1.0], rel=1e-5)
+    # smooth at surface-detail scale: 1 mm steps move the warped point
+    # by ~1 mm (+ O(amp * step / min_wavelength)), never a jump
+    f = make_warp_field(np.random.default_rng(3), amplitude=1.5)
+    step = np.array([1e-3, 0.0, 0.0], dtype=np.float32)
+    jump = np.linalg.norm(f(x + step) - f(x), axis=1)
+    assert float(jump.max()) < 5e-3
+
+
+def test_scan_pair_world_warp_keeps_corr_contract():
+    rng = np.random.default_rng(11)
+    w0, w1, pairs = scan_pair_world(
+        rng, resolution=(80, 60), max_corr=256, warp=1.5)
+    assert w0.dtype == np.float32 and w1.dtype == np.float32
+    assert len(pairs) >= 8
+    # correspondences are built AFTER warping: GT pairs must still be
+    # within corr_radius in (warped) world space
+    d = np.linalg.norm(w0[pairs[:, 0]] - w1[pairs[:, 1]], axis=1)
+    assert float(d.max()) <= 0.0375 + 1e-6
+
+
+def test_disk_corpus_train_val_scene_disjoint(tmp_path):
+    for i in range(8):
+        np.savez(tmp_path / f"scene_{i * 25:06d}.npz",
+                 w0=np.zeros((300, 3), np.float32),
+                 w1=np.zeros((300, 3), np.float32),
+                 pairs=np.zeros((16, 2), np.int32))
+    train = DiskScanPairDataset(str(tmp_path), role="train")
+    val = DiskScanPairDataset(str(tmp_path), role="val")
+    train_files, val_files = set(train._files), set(val._files)
+    assert not (train_files & val_files)
+    assert train_files | val_files == {
+        str(tmp_path / f"scene_{i * 25:06d}.npz") for i in range(8)}
+    # scene number % VAL_MOD == 0 -> val (stable as the corpus grows)
+    assert len(val_files) == 4  # 0, 50, 100, 150
