@@ -51,6 +51,12 @@ def main():
                     help="domain-warp amplitude (synthetic.make_warp_field);"
                          " 0 disables. Surface detail is what makes the"
                          " descriptor task learnable on synthetic rooms")
+    ap.add_argument("--warp-max", type=float, default=0.0,
+                    help="if > --warp, draw each scene's amplitude from "
+                         "U(warp, warp_max): amplitude diversity raises the "
+                         "corpus's signature discriminability (fresh-scene "
+                         "1-NN acc 0.14 @ 1.5 vs 0.19 @ 2.5) while keeping "
+                         "lower-amplitude eval scenes in-distribution")
     ap.add_argument("--nice", action="store_true",
                     help="drop process priority to stay out of the way of "
                          "a concurrent training/bench process")
@@ -69,10 +75,13 @@ def main():
         if os.path.exists(path):
             continue
         rng = np.random.default_rng(args.seed * 1000003 + i)
+        warp = args.warp
+        if args.warp_max > args.warp:
+            warp = float(rng.uniform(args.warp, args.warp_max))
         try:
             w0, w1, pairs = scan_pair_world(
                 rng, resolution=tuple(args.resolution), max_corr=1024,
-                warp=args.warp)
+                warp=warp)
         except RuntimeError:
             skipped += 1
             continue
