@@ -494,6 +494,44 @@ def scan_pair(
     return frame_scan_pair(rng, w0, w1, pairs, num_corr=num_corr)
 
 
+def _subsample_pair_to_fit(rng, w0, w1, pairs, point_capacity, num_corr):
+    """Random per-cloud subsample so len(w0)+len(w1) <= point_capacity.
+
+    Budgets are proportional to cloud sizes; the endpoints of up to
+    ``num_corr`` randomly chosen candidate pairs are always kept, so the
+    correspondence supervision density survives the subsample. Remaining
+    pair indices are remapped into the kept clouds.
+    """
+    n0, n1 = len(w0), len(w1)
+    sel = pairs
+    if len(sel) > num_corr:
+        sel = sel[rng.choice(len(sel), num_corr, replace=False)]
+    if point_capacity < 512:
+        raise ValueError(f"point_capacity {point_capacity} < 512")
+    k0 = min(max(256, point_capacity * n0 // (n0 + n1)),
+             point_capacity - 256)
+    k1 = point_capacity - k0
+
+    def keep_set(n, k, must):
+        k = min(max(k, len(must)), n)
+        if k >= n:
+            return np.arange(n)
+        rest = np.setdiff1d(np.arange(n), must)
+        extra = rng.choice(len(rest), k - len(must), replace=False)
+        return np.concatenate([must, rest[extra]])
+
+    keep0 = keep_set(n0, k0, np.unique(sel[:, 0]))
+    keep1 = keep_set(n1, k1, np.unique(sel[:, 1]))
+    inv0 = np.full(n0, -1, np.int64)
+    inv0[keep0] = np.arange(len(keep0))
+    inv1 = np.full(n1, -1, np.int64)
+    inv1[keep1] = np.arange(len(keep1))
+    p0, p1 = inv0[pairs[:, 0]], inv1[pairs[:, 1]]
+    ok = (p0 >= 0) & (p1 >= 0)
+    remapped = np.stack([p0[ok], p1[ok]], axis=1).astype(np.int32)
+    return w0[keep0], w1[keep1], remapped
+
+
 class DiskScanPairDataset:
     """Scan-pair corpus from a directory of pre-generated world-frame scenes.
 
@@ -564,6 +602,14 @@ class DiskScanPairDataset:
             visit = self._visits
             self._visits += 1
         rng = np.random.default_rng((self.seed, index, visit))
+        if len(w0) + len(w1) > point_capacity:
+            # oversized scene vs the runtime capacity: random subsample to
+            # fit, preserving up to num_corr correspondence pairs intact
+            # (the reference resamples pairs >50k points instead,
+            # ThreeDMatch.py:114-115; subsampling keeps the scene usable
+            # at reduced capacities, e.g. CPU smoke runs)
+            w0, w1, pairs = _subsample_pair_to_fit(
+                rng, w0, w1, pairs, point_capacity, self.num_corr)
         pts0, pts1, corr, dk = frame_scan_pair(
             rng, w0, w1, pairs, num_corr=self.num_corr, noise=self.noise,
             rotation=self.rotation, augment_rotation=self.augment_rotation,
