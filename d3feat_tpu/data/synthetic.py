@@ -494,13 +494,49 @@ def scan_pair(
     return frame_scan_pair(rng, w0, w1, pairs, num_corr=num_corr)
 
 
+def crop_pair_to_budget(rng, w0, w1, pairs, max_points):
+    """Crop both clouds to a sphere around a random correspondence anchor,
+    with the largest radius (bisected) whose point total fits the budget.
+
+    Preserves the full scan density — a random point-thinning was measured
+    to cost ~0.06 signature 1-NN discriminability on capped scenes because
+    it undersamples the surface detail the descriptor task depends on.
+    Centering on a GT-pair anchor keeps the crop inside the overlap region;
+    pair indices are remapped into the cropped clouds. Used by
+    tools/gen_corpus.py at generation time and by
+    :class:`DiskScanPairDataset` at load time (every visit of an oversized
+    scene trains on a different random full-density window — the
+    fully-convolutional network evaluates on full rooms regardless).
+    """
+    center = w0[pairs[rng.integers(len(pairs)), 0]]
+    d0 = np.linalg.norm(w0 - center, axis=1)
+    d1 = np.linalg.norm(w1 - center, axis=1)
+    lo, hi = 0.25, float(max(d0.max(), d1.max()))
+    for _ in range(24):
+        mid = 0.5 * (lo + hi)
+        if int((d0 <= mid).sum()) + int((d1 <= mid).sum()) <= max_points:
+            lo = mid
+        else:
+            hi = mid
+    m0, m1 = d0 <= lo, d1 <= lo
+    inv0 = np.full(len(w0), -1, np.int64)
+    inv0[np.nonzero(m0)[0]] = np.arange(int(m0.sum()))
+    inv1 = np.full(len(w1), -1, np.int64)
+    inv1[np.nonzero(m1)[0]] = np.arange(int(m1.sum()))
+    remapped = np.stack([inv0[pairs[:, 0]], inv1[pairs[:, 1]]], axis=1)
+    remapped = remapped[(remapped >= 0).all(axis=1)].astype(np.int32)
+    return w0[m0], w1[m1], remapped
+
+
 def _subsample_pair_to_fit(rng, w0, w1, pairs, point_capacity, num_corr):
     """Random per-cloud subsample so len(w0)+len(w1) <= point_capacity.
 
     Budgets are proportional to cloud sizes; the endpoints of up to
     ``num_corr`` randomly chosen candidate pairs are always kept, so the
     correspondence supervision density survives the subsample. Remaining
-    pair indices are remapped into the kept clouds.
+    pair indices are remapped into the kept clouds. Prefer
+    :func:`crop_pair_to_budget` (``fit_mode='crop'``) for training — the
+    subsample mode preserves global extent but thins density.
     """
     n0, n1 = len(w0), len(w1)
     sel = pairs
@@ -551,10 +587,13 @@ class DiskScanPairDataset:
     def __init__(self, root: str, num_corr: int = 128, seed: int = 0,
                  noise: float = 0.005, role: str = "all",
                  rotation: str = "axis", augment_rotation: float = 1.0,
-                 augment_translation: float = 0.5):
+                 augment_translation: float = 0.5,
+                 fit_mode: str = "crop"):
         import threading
 
         assert role in ("all", "train", "val")
+        assert fit_mode in ("crop", "subsample")
+        self.fit_mode = fit_mode
         self.root = root
         self.num_corr = num_corr
         self.seed = seed
@@ -603,13 +642,17 @@ class DiskScanPairDataset:
             self._visits += 1
         rng = np.random.default_rng((self.seed, index, visit))
         if len(w0) + len(w1) > point_capacity:
-            # oversized scene vs the runtime capacity: random subsample to
-            # fit, preserving up to num_corr correspondence pairs intact
-            # (the reference resamples pairs >50k points instead,
-            # ThreeDMatch.py:114-115; subsampling keeps the scene usable
-            # at reduced capacities, e.g. CPU smoke runs)
-            w0, w1, pairs = _subsample_pair_to_fit(
-                rng, w0, w1, pairs, point_capacity, self.num_corr)
+            # oversized scene vs the runtime capacity (the reference
+            # resamples pairs >50k points instead, ThreeDMatch.py:114-115):
+            # 'crop' (default) takes a random full-density window around a
+            # GT-pair anchor; 'subsample' thins points globally, keeping
+            # up to num_corr correspondence pairs intact
+            if self.fit_mode == "crop":
+                w0, w1, pairs = crop_pair_to_budget(
+                    rng, w0, w1, pairs, point_capacity)
+            else:
+                w0, w1, pairs = _subsample_pair_to_fit(
+                    rng, w0, w1, pairs, point_capacity, self.num_corr)
         pts0, pts1, corr, dk = frame_scan_pair(
             rng, w0, w1, pairs, num_corr=self.num_corr, noise=self.noise,
             rotation=self.rotation, augment_rotation=self.augment_rotation,

@@ -77,25 +77,52 @@ def test_disk_corpus_train_val_scene_disjoint(tmp_path):
     assert len(val_files) == 4  # 0, 50, 100, 150
 
 
-def test_disk_corpus_subsamples_oversized_scene_to_fit(tmp_path):
+def _oversized_scene(tmp_path):
     rng = np.random.default_rng(3)
     w0 = rng.normal(size=(3000, 3)).astype(np.float32)
     w1 = w0[:2500] + rng.normal(scale=0.005, size=(2500, 3)).astype(np.float32)
     pairs = np.stack([np.arange(400), np.arange(400)], axis=1).astype(np.int32)
     np.savez(tmp_path / "scene_000001.npz", w0=w0, w1=w1, pairs=pairs)
-    ds = DiskScanPairDataset(str(tmp_path), num_corr=128, seed=0,
-                             noise=0.0, augment_rotation=0.0,
-                             augment_translation=0.0)
-    item = ds.packed(0, point_capacity=2048, corr_capacity=128)
+    return w0, w1
+
+
+def _check_fit(item, cap):
     n0, n1 = int(item.lengths[0]), int(item.lengths[1])
-    assert n0 + n1 <= 2048
-    # the preserved correspondence pairs survive the subsample intact:
-    # full corr_capacity is valid, indices in range, anchors == positives
-    # in world space (identity pairing, no rotation/translation/noise)
-    assert bool(item.corr_valid.all())
-    a, p = item.corr[:, 0], item.corr[:, 1]
+    assert n0 + n1 <= cap
+    assert int(item.corr_valid.sum()) >= 1
+    k = int(item.corr_valid.sum())
+    a, p = item.corr[:k, 0], item.corr[:k, 1]
     assert int(a.max()) < n0 and int(p.max()) < n1
+    # anchors == positives in world space (identity pairing, no
+    # rotation/translation/noise), so remapping stayed consistent
     src = item.points[:n0][a]
     tgt = item.points[n0:n0 + n1][p]
-    d = np.linalg.norm(src - tgt, axis=1)
-    assert float(d.max()) <= 0.05
+    assert float(np.linalg.norm(src - tgt, axis=1).max()) <= 0.05
+    return n0, n1
+
+
+def test_disk_corpus_crops_oversized_scene_to_fit(tmp_path):
+    w0, _ = _oversized_scene(tmp_path)
+    ds = DiskScanPairDataset(str(tmp_path), num_corr=128, seed=0,
+                             noise=0.0, augment_rotation=0.0,
+                             augment_translation=0.0)  # fit_mode='crop'
+    item = ds.packed(0, point_capacity=2048, corr_capacity=128)
+    n0, n1 = _check_fit(item, 2048)
+    # crop preserves local density: kept cloud-0 points lie in one sphere
+    # (bounded diameter), not thinned across the whole scene extent
+    kept = item.points[:n0]
+    center = kept.mean(axis=0)
+    r = np.linalg.norm(kept - center, axis=1).max()
+    full_r = np.linalg.norm(w0 - w0.mean(axis=0), axis=1).max()
+    assert r < 0.8 * full_r
+
+
+def test_disk_corpus_subsample_fit_mode_keeps_corr_density(tmp_path):
+    _oversized_scene(tmp_path)
+    ds = DiskScanPairDataset(str(tmp_path), num_corr=128, seed=0,
+                             noise=0.0, augment_rotation=0.0,
+                             augment_translation=0.0, fit_mode="subsample")
+    item = ds.packed(0, point_capacity=2048, corr_capacity=128)
+    _check_fit(item, 2048)
+    # subsample mode always keeps the endpoints of num_corr chosen pairs
+    assert bool(item.corr_valid.all())

@@ -36,30 +36,6 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
-def crop_pair_to_budget(rng, w0, w1, pairs, max_points):
-    """Crop both clouds to a sphere around a random correspondence anchor,
-    with the largest radius (bisected) whose point total fits the budget.
-    Pair indices are remapped into the cropped clouds."""
-    center = w0[pairs[rng.integers(len(pairs)), 0]]
-    d0 = np.linalg.norm(w0 - center, axis=1)
-    d1 = np.linalg.norm(w1 - center, axis=1)
-    lo, hi = 0.25, float(max(d0.max(), d1.max()))
-    for _ in range(24):
-        mid = 0.5 * (lo + hi)
-        if int((d0 <= mid).sum()) + int((d1 <= mid).sum()) <= max_points:
-            lo = mid
-        else:
-            hi = mid
-    m0, m1 = d0 <= lo, d1 <= lo
-    inv0 = np.full(len(w0), -1, np.int64)
-    inv0[np.nonzero(m0)[0]] = np.arange(int(m0.sum()))
-    inv1 = np.full(len(w1), -1, np.int64)
-    inv1[np.nonzero(m1)[0]] = np.arange(int(m1.sum()))
-    remapped = np.stack([inv0[pairs[:, 0]], inv1[pairs[:, 1]]], axis=1)
-    remapped = remapped[(remapped >= 0).all(axis=1)].astype(np.int32)
-    return w0[m0], w1[m1], remapped
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="runs/corpus")
@@ -89,7 +65,7 @@ def main():
     if args.nice:
         os.nice(19)
 
-    from d3feat_tpu.data.synthetic import scan_pair_world
+    from d3feat_tpu.data.synthetic import crop_pair_to_budget, scan_pair_world
 
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
