@@ -78,9 +78,15 @@ def _band_head_kernel(
         cnt_ref[0:1, :] = cnt_ref[0:1, :] + jnp.sum(
             sel * active, axis=0, keepdims=True)
 
+        # HIGHEST: the MXU's DEFAULT f32 precision is a single bf16 pass
+        # (~3e-3 relative), but these sums feed score means that must match
+        # the XLA head (and thus the reference) to fp-accumulation level —
+        # top-k keypoint selection keys on tiny score differences. sel is
+        # exactly {0,1}; the passes recover full f32 feature precision.
         sum_ref[:] = sum_ref[:] + jax.lax.dot_general(
             sel, bx_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [T, C]
         return carry
 

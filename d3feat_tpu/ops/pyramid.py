@@ -245,8 +245,11 @@ def build_pyramid(
         # the fused select runs at EVERY level on TPU: the XLA brute
         # fallback's top_k lowers to full sorts costing ~7 ms of fixed
         # overhead per search (measured) — at small levels the band is
-        # simply (nearly) the whole level and stays exact
-        if want_pallas:
+        # simply (nearly) the whole level and stays exact.
+        # force_band_export takes the SAME path in Pallas interpret mode,
+        # so CPU tests exercise the real selection + sel_thr export (the
+        # band-head and threshold-mode band-conv gates) end to end.
+        if want_pallas or spec.force_band_export:
             # pool bands are wide: smaller tiles bound [band, tile] panels.
             # Tiles must be 128-lane multiples (Mosaic block divisibility);
             # tiny eval buckets would otherwise yield e.g. 96-wide tiles.
@@ -259,6 +262,7 @@ def build_pyramid(
                                         spec.band_frac, tile=qt,
                                         ratio=ratio),
                 raw_positions=True, with_threshold=want_thr,
+                interpret=not want_pallas,
             )
             idx, ov = res[0], res[1]
             if want_thr:

@@ -28,7 +28,7 @@ def tiny_config(num_layers=3):
     cfg.first_features_dim = 32
     cfg.first_subsampling_dl = 0.08
     cfg.caps = PyramidCaps(
-        points=(1024, 512, 256)[:num_layers],
+        points=(1024, 512, 256, 128, 128)[:num_layers],
         neighbors=(16,) * num_layers,
         corr=32,
     )
@@ -130,6 +130,35 @@ def test_dp_train_step_matches_single_device(setup):
     dp = make_dp_train_step(cfg, mesh, specs)
     batch8 = stack_shard_batch([batch_np] * 8, mesh)
     ts8, m8 = dp(ts, batch8, jnp.int32(0))
+
+    assert np.isclose(float(m8.loss), float(m1.loss), rtol=1e-5)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), ts1.params, ts8.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
+def test_dp_train_step_full_architecture_matches_single_device():
+    """Full 5-layer KPFCNN (every encoder level + the whole decoder) under
+    DP on the virtual 8-mesh vs single-device: a deep-layer-only sharding
+    bug (e.g. band-path routing differing across levels) would pass the
+    3-layer test above but fail here. Tiny point caps keep it CPU-cheap."""
+    cfg = tiny_config(num_layers=5)
+    cfg.caps = PyramidCaps(
+        points=(1024, 512, 256, 128, 128), neighbors=(16,) * 5, corr=24,
+    )
+    ts, specs = init_train_state(jax.random.key(4), cfg)
+    rng = np.random.default_rng(17)
+    batch_np = make_batch(rng, cfg, n=400)
+
+    single = jax.jit(make_train_step(cfg, specs))
+    ts1, m1 = single(ts, {k: jnp.asarray(v) for k, v in batch_np.items()},
+                     jnp.int32(0))
+    assert float(m1.overflow) == 0.0 and float(m1.skipped) == 0.0
+
+    mesh = make_mesh(8)
+    dp = make_dp_train_step(cfg, mesh, specs)
+    ts8, m8 = dp(ts, stack_shard_batch([batch_np] * 8, mesh), jnp.int32(0))
 
     assert np.isclose(float(m8.loss), float(m1.loss), rtol=1e-5)
     diffs = jax.tree.map(

@@ -99,8 +99,10 @@ def main():
         if len(pairs) < args.min_corr:
             skipped += 1
             continue
-        # leading dot: must NOT match the dataset's scene_*.npz glob
-        tmp = os.path.join(args.out, f".tmp_{i:06d}.npz")
+        # leading dot: must NOT match the dataset's scene_*.npz glob;
+        # pid suffix: two concurrent generators over the same dir must not
+        # collide on the tmp name (the loser's os.replace would crash)
+        tmp = os.path.join(args.out, f".tmp_{i:06d}.{os.getpid()}.npz")
         np.savez(tmp, w0=w0, w1=w1, pairs=pairs)
         os.replace(tmp, path)
         written += 1

@@ -166,6 +166,11 @@ def main():
                       + (2 * n_out * s.in_dim * s.out_dim
                          if s.in_dim != s.out_dim else 0))
                 ana["unary / linear"][0] += fl
+                by = (n_in * (s.in_dim + c4) * 4
+                      + n_out * (c4 + s.out_dim) * 4
+                      + (n_out * (s.in_dim + s.out_dim) * 4
+                         if s.in_dim != s.out_dim else 0))
+                ana["unary / linear"][1] += by
         elif s.kind in ("unary", "last_unary"):
             fl, by = unary_cost(s, lengths)
             ana["unary / linear"][0] += fl
@@ -235,15 +240,19 @@ def main():
         tf = fl / (t * 1e-6) / 1e12 if t else 0.0
         gb = by / (t * 1e-6) / 1e9 if t else 0.0
         bound = max(fl / PEAK_FLOPS, by / PEAK_BW) * 1e6  # us at roofline
+        # no cost model => render 'n/a', not 0.0 (0.0 would read as 'far
+        # below roofline' when it actually means 'not modeled')
+        modeled = (fl > 0 or by > 0) and t > 0
         rows.append((name, t, fl / 1e9, by / 1e6, tf, gb,
-                     100.0 * bound / t if t else 0.0))
+                     100.0 * bound / t if modeled else None))
 
     hdr = (f"{'section':<28} {'us/frag':>8} {'GFLOP':>7} {'MB':>7} "
            f"{'TFLOP/s':>8} {'GB/s':>7} {'%roofline':>9}")
     lines = [hdr, "-" * len(hdr)]
     for name, t, gfl, mb, tf, gb, pct in rows:
+        pct_s = f"{pct:9.1f}" if pct is not None else f"{'n/a':>9}"
         lines.append(f"{name:<28} {t:8.0f} {gfl:7.2f} {mb:7.1f} "
-                     f"{tf:8.2f} {gb:7.1f} {pct:9.1f}")
+                     f"{tf:8.2f} {gb:7.1f} {pct_s}")
     mfu = tot_fl / (total_us * 1e-6) / PEAK_FLOPS * 100.0
     lines.append("-" * len(hdr))
     lines.append(
@@ -261,7 +270,11 @@ def main():
             "warm extract step;\nFLOPs/bytes computed analytically from "
             "the fragment's REAL band occupancies\n(tools/mfu_report.py). "
             "`%roofline` = per-section roofline-bound time / measured "
-            "time.\n\n```\n" + table + "\n```\n\n"
+            "time;\n`n/a` marks sections with no analytic cost model yet "
+            "(they do move bytes —\nthe blank is honest, not zero "
+            "traffic). Byte figures for the eval local-max\ngate, shortcut "
+            "max_pool and the head kernel are rough gather/DMA-volume\n"
+            "estimates, not exact counts.\n\n```\n" + table + "\n```\n\n"
             "The pipeline is NOT MXU-bound: the useful conv FLOPs are "
             "small at these\npoint counts, and the time goes to "
             "selection/influence VPU work, sorts and\ngathers. The honest "
