@@ -146,6 +146,11 @@ class D3FeatConfig:
     # kernels raise Mosaic's scoped-VMEM limit accordingly)
     bandconv_max_panel_mb: float = 24.0
     bandconv_max_layer: int = 99  # debug: cap fused-path depth by layer
+    # detector head on the TRAINING path: ride the fused band-head kernel
+    # through its custom VJP (ops/pallas/head.band_head_ad) instead of the
+    # XLA [C0, K0, D] gather + scatter-add backward. Eval/extract always
+    # uses the fused head when band state is present.
+    bandhead_train: bool = True
     seed: int = 0
     deterministic_kernel_points: bool = True  # disable load-time rotation/jitter
 

@@ -152,10 +152,11 @@ def detection_scores(batch, features: jax.Array, *, train: bool,
     cannot perturb another's scores. (The reference itself sketches this
     per-sample variant in its commented-out code, architectures.py:337-345.)
 
-    On the forward-only path (``train=False``) with the pyramid's
-    sorted-space band state present, the neighborhood sum/count ride the
-    fused band-head kernel (ops/pallas/head) instead of a [C0, K0, D]
-    gather + two reductions; the eval local-max gate keeps its XLA gather.
+    With the pyramid's sorted-space band state present, the neighborhood
+    sum/count ride the fused band-head kernel (ops/pallas/head) instead of
+    a [C0, K0, D] gather + two reductions — on the training path through
+    its custom VJP (config.bandhead_train, default on). The eval local-max
+    gate keeps its XLA gather.
     """
     neighbor = batch["neighbors"][0]  # [C0, K0], shadow = C0
     f = features
@@ -175,14 +176,14 @@ def detection_scores(batch, features: jax.Array, *, train: bool,
         # the plain global max is identical (architectures.py:342).
         f = f / (jnp.max(f) + 1e-6)
     use_band_head = (
-        not train
+        (not train or getattr(config, "bandhead_train", True))
         and config is not None
         and 0 in batch.get("band", {})
         and "conv0" in batch.get("sel_thr", {})
     )
     if use_band_head:
         from d3feat_tpu.models.blocks import band_query_tiles
-        from d3feat_tpu.ops.pallas.head import band_head
+        from d3feat_tpu.ops.pallas.head import band_head_ad
         from d3feat_tpu.ops.pyramid import level_band_cap
 
         b0 = batch["band"][0]
@@ -202,14 +203,17 @@ def detection_scores(batch, features: jax.Array, *, train: bool,
             [f.astype(jnp.float32),
              jnp.zeros((band_pad, f.shape[1]), jnp.float32)]
         )
-        fsum, cnt = band_head(
-            q_packed, b0["s_packed"], x_pad, starts, ends,
-            band_cap=level_band_cap(
+        # band_head_ad: identical forward; on the training path its custom
+        # VJP runs one transposed band sweep for dx instead of the XLA
+        # [C0, K0, D] gather's scatter-add backward
+        fsum, cnt = band_head_ad(
+            level_band_cap(
                 s_rows, num_clouds, getattr(config, "band_frac", 0.1),
                 tile=T, ratio=1,
             ),
-            query_tile=T,
-            interpret=jax.default_backend() != "tpu",
+            T,
+            jax.default_backend() != "tpu",
+            q_packed, b0["s_packed"], x_pad, starts, ends,
         )
         neighbor_num = jnp.maximum(cnt[:s_rows, None], 1.0).astype(f.dtype)
         mean_features = fsum[:s_rows, : f.shape[1]] / neighbor_num

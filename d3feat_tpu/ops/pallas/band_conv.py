@@ -126,10 +126,10 @@ def _band_conv_kernel(
     den_ref,             # [8, T] f32 OUT — row 0 = clamped density denom
                          #   (saved by the custom VJP: the backward scales
                          #   the cotangent by it, no gathers)
-    band_ref,            # [CHUNK, 128] f32 scratch
-    bx_ref,              # [CHUNK, C] panel-dtype scratch
+    band_ref,            # [2, CHUNK, 128] f32 scratch (double-buffered)
+    bx_ref,              # [2, CHUNK, C] panel-dtype scratch (double-buffered)
     acc_ref,             # [T, Cout] f32 scratch accumulator
-    sem,                 # DMA semaphores (2,)
+    sem,                 # DMA semaphores (4,): 2 slots x (coords, features)
 ):
     # panel dtype (f32 or bf16) is carried by the feature/weight operands;
     # geometry, selection, density and accumulators always stay f32
@@ -151,19 +151,42 @@ def _band_conv_kernel(
     qx = q_ref[0:1, :]
     qy = q_ref[1:2, :]
     qz = q_ref[2:3, :]
-    C = bx_ref.shape[1]
+    C = bx_ref.shape[2]
 
-    def chunk_body(cb, carry):
+    # double-buffered band DMA: chunk cb+1's coord/feature copies run
+    # while chunk cb's selection + matmuls execute — serialized
+    # start();wait() pairs left the per-chunk DMA latency on the critical
+    # path (the copies are small, so latency dominates their cost)
+    def chunk_dma(slot, cb):
         base = pl.multiple_of(start + cb * CHUNK, 8)
         cp1 = pltpu.make_async_copy(s_hbm.at[pl.ds(base, CHUNK), :],
-                                    band_ref, sem.at[0])
+                                    band_ref.at[slot], sem.at[2 * slot])
         cp2 = pltpu.make_async_copy(x_hbm.at[pl.ds(base, CHUNK), :],
-                                    bx_ref, sem.at[1])
+                                    bx_ref.at[slot], sem.at[2 * slot + 1])
+        return cp1, cp2
+
+    @pl.when(n_act > 0)
+    def _():
+        cp1, cp2 = chunk_dma(0, 0)
         cp1.start(); cp2.start()
+
+    def chunk_body(cb, carry):
+        slot = jax.lax.rem(cb, 2)
+        base = pl.multiple_of(start + cb * CHUNK, 8)
+
+        @pl.when(cb + 1 < n_act)
+        def _():
+            np1, np2 = chunk_dma(1 - slot, cb + 1)
+            np1.start(); np2.start()
+
+        cp1, cp2 = chunk_dma(slot, cb)
         cp1.wait(); cp2.wait()
+        # sub-REFS (not value loads): slices stay lazy column reads
+        band = band_ref.at[slot]
+        bx = bx_ref.at[slot]
 
         if use_thr:
-            selb, d2q = _thr_select(band_ref, q_ref, base, CHUNK, T)
+            selb, d2q = _thr_select(band, q_ref, base, CHUNK, T)
             sel = selb.astype(jnp.float32)
             d2m = jnp.where(selb, d2q, _BIG)
         else:
@@ -180,7 +203,7 @@ def _band_conv_kernel(
 
         # feature-row activity for density normalization: the reference
         # counts rows with POSITIVE sums (blocks.py:377-380)
-        row_sum = jnp.sum(bx_ref[:], axis=1, keepdims=True,
+        row_sum = jnp.sum(bx[:], axis=1, keepdims=True,
                           dtype=jnp.float32)                 # [CHUNK, 1]
         active = (row_sum > 0.0).astype(jnp.float32)
         den_ref[0:1, :] = den_ref[0:1, :] + jnp.sum(
@@ -195,17 +218,17 @@ def _band_conv_kernel(
         # per-kp subtract free either way.
         for kp in range(KP):
             if use_thr:
-                w = _thr_weight(d2m, band_ref, q_ref, kp_ref, kp, inv_extent)
+                w = _thr_weight(d2m, band, q_ref, kp_ref, kp, inv_extent)
             else:
-                d = band_ref[:, 0:1] - (qx + kp_ref[0, 3 * kp + 0])
+                d = band[:, 0:1] - (qx + kp_ref[0, 3 * kp + 0])
                 d2 = d * d
-                d = band_ref[:, 1:2] - (qy + kp_ref[0, 3 * kp + 1])
+                d = band[:, 1:2] - (qy + kp_ref[0, 3 * kp + 1])
                 d2 = d2 + d * d
-                d = band_ref[:, 2:3] - (qz + kp_ref[0, 3 * kp + 2])
+                d = band[:, 2:3] - (qz + kp_ref[0, 3 * kp + 2])
                 d2 = d2 + d * d
                 w = jnp.maximum(1.0 - jnp.sqrt(d2) / extent, 0.0) * sel
             weighted = jax.lax.dot_general(
-                w.astype(pd), bx_ref[:],
+                w.astype(pd), bx[:],
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [T, C] f32
@@ -319,10 +342,10 @@ def band_conv(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((chunk, 128), jnp.float32),
-            pltpu.VMEM((chunk, c), pd),
+            pltpu.VMEM((2, chunk, 128), jnp.float32),
+            pltpu.VMEM((2, chunk, c), pd),
             pltpu.VMEM((query_tile, cout), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(
@@ -403,24 +426,61 @@ def _band_conv_bwd_kernel(
     qx = q_ref[0:1, :]
     qy = q_ref[1:2, :]
     qz = q_ref[2:3, :]
-    C = bx_ref.shape[1]
+    C = bx_ref.shape[2]
     gs = gs_ref[:]
     gsb = gs.astype(pd)
 
-    def chunk_body(cb, carry):
+    # double-buffered reads (coords, features, dx rows); the dx WRITEBACK
+    # stays ordered per slot: a slot's previous writeback is waited before
+    # its dxs buffer is refilled, and the tile's last writeback is drained
+    # after the loop (the next tile's band overlaps these dx rows).
+    # Within a tile consecutive chunks cover DISJOINT dx rows, so chunk
+    # cb+1's dx read never races chunk cb's writeback at the HBM level —
+    # only the dxs BUFFER reuse needs the per-slot ordering.
+    def chunk_reads(slot, cb):
         base = pl.multiple_of(start + cb * CHUNK, 8)
         cp1 = pltpu.make_async_copy(s_hbm.at[pl.ds(base, CHUNK), :],
-                                    band_ref, sem.at[0])
+                                    band_ref.at[slot], sem.at[2 * slot])
         cp2 = pltpu.make_async_copy(x_hbm.at[pl.ds(base, CHUNK), :],
-                                    bx_ref, sem.at[1])
-        # read this chunk's current dx rows (overlaps the sel compute)
+                                    bx_ref.at[slot], sem.at[2 * slot + 1])
         cp3 = pltpu.make_async_copy(dx_out.at[pl.ds(base, CHUNK), :],
-                                    dxs_ref, sem.at[2])
-        cp1.start(); cp2.start(); cp3.start()
+                                    dxs_ref.at[slot], sem.at[4 + slot])
+        return cp1, cp2, cp3
+
+    def wb_copy(slot, cb):
+        base = pl.multiple_of(start + cb * CHUNK, 8)
+        return pltpu.make_async_copy(
+            dxs_ref.at[slot], dx_out.at[pl.ds(base, CHUNK), :],
+            sem.at[6 + slot])
+
+    @pl.when(n_act > 0)
+    def _():
+        for cp in chunk_reads(0, 0):
+            cp.start()
+
+    def chunk_body(cb, carry):
+        slot = jax.lax.rem(cb, 2)
+        base = pl.multiple_of(start + cb * CHUNK, 8)
+
+        # slot 1-slot's previous writeback (chunk cb-1) must land before
+        # its dxs buffer is refilled by chunk cb+1's dx read
+        @pl.when(cb >= 1)
+        def _():
+            wb_copy(1 - slot, cb - 1).wait()
+
+        @pl.when(cb + 1 < n_act)
+        def _():
+            for cp in chunk_reads(1 - slot, cb + 1):
+                cp.start()
+
+        cp1, cp2, cp3 = chunk_reads(slot, cb)
         cp1.wait(); cp2.wait()
+        band = band_ref.at[slot]
+        bx = bx_ref.at[slot]
+        dxs = dxs_ref.at[slot]
 
         if use_thr:
-            selb, d2q = _thr_select(band_ref, q_ref, base, CHUNK, T)
+            selb, d2q = _thr_select(band, q_ref, base, CHUNK, T)
             d2m = jnp.where(selb, d2q, _BIG)
         else:
             bidx = (jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
@@ -433,19 +493,19 @@ def _band_conv_bwd_kernel(
         cp3.wait()
         for kp in range(KP):
             if use_thr:
-                wb = _thr_weight(d2m, band_ref, q_ref, kp_ref, kp,
+                wb = _thr_weight(d2m, band, q_ref, kp_ref, kp,
                                  inv_extent).astype(pd)       # [CHUNK, T]
             else:
-                d = band_ref[:, 0:1] - (qx + kp_ref[0, 3 * kp + 0])
+                d = band[:, 0:1] - (qx + kp_ref[0, 3 * kp + 0])
                 d2 = d * d
-                d = band_ref[:, 1:2] - (qy + kp_ref[0, 3 * kp + 1])
+                d = band[:, 1:2] - (qy + kp_ref[0, 3 * kp + 1])
                 d2 = d2 + d * d
-                d = band_ref[:, 2:3] - (qz + kp_ref[0, 3 * kp + 2])
+                d = band[:, 2:3] - (qz + kp_ref[0, 3 * kp + 2])
                 d2 = d2 + d * d
                 wb = (jnp.maximum(1.0 - jnp.sqrt(d2) / extent, 0.0)
                       * sel).astype(pd)                       # [CHUNK, T]
             weighted = jax.lax.dot_general(
-                wb, bx_ref[:], (((0,), (0,)), ((), ())),
+                wb, bx[:], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [T, C] f32
             dwkp = jax.lax.dot_general(
@@ -457,18 +517,21 @@ def _band_conv_bwd_kernel(
                 gsb, w_ref[pl.ds(kp * C, C), :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [T, C] = gs @ W_kp^T
-            dxs_ref[:] = dxs_ref[:] + jax.lax.dot_general(
+            dxs[:] = dxs[:] + jax.lax.dot_general(
                 wb, dwt.astype(pd), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [CHUNK, C]
 
-        wb_cp = pltpu.make_async_copy(
-            dxs_ref, dx_out.at[pl.ds(base, CHUNK), :], sem.at[2])
-        wb_cp.start()
-        wb_cp.wait()  # the next chunk/tile may read overlapping rows
+        wb_copy(slot, cb).start()  # waited at cb+2 (slot reuse) or below
         return carry
 
     jax.lax.fori_loop(0, n_act, chunk_body, jnp.int32(0))
+    # drain the tile's LAST writeback before the body ends: the next
+    # tile's overlapping band may read these dx rows. All earlier
+    # writebacks were waited inside the loop (one per slot reuse).
+    @pl.when(n_act > 0)
+    def _():
+        wb_copy(jax.lax.rem(n_act - 1, 2), n_act - 1).wait()
 
 
 def _bwd_call(q_packed, neighb_sorted, s_packed, x_sorted,
@@ -513,10 +576,11 @@ def _bwd_call(q_packed, neighb_sorted, s_packed, x_sorted,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((chunk, 128), jnp.float32),
-            pltpu.VMEM((chunk, c), pd),
-            pltpu.VMEM((chunk, c), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, chunk, 128), jnp.float32),
+            pltpu.VMEM((2, chunk, c), pd),
+            pltpu.VMEM((2, chunk, c), jnp.float32),
+            # 2 slots x (coords, features) + 2 dx reads + 2 writebacks
+            pltpu.SemaphoreType.DMA((8,)),
         ],
     )
     return pl.pallas_call(

@@ -101,23 +101,42 @@ def _select_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, T), 0)
     empty = jnp.int32(s_hbm.shape[0] - 1)
 
+    # double-buffered band DMA: the copies are small (CHUNK x 512 B), so
+    # per-chunk DMA LATENCY — not bandwidth — dominates when serialized
+    # with the sweep compute; overlapping chunk cb+1's copy with chunk
+    # cb's sweeps hides nearly all of it (measured ~2x on this kernel)
+    def chunk_dma(slot, cb):
+        base = pl.multiple_of(start + cb * CHUNK, 8)
+        return pltpu.make_async_copy(
+            s_hbm.at[pl.ds(base, CHUNK), :], band_ref.at[slot],
+            sem.at[slot])
+
+    @pl.when(n_act > 0)
+    def _():
+        chunk_dma(0, 0).start()
+
     def chunk_body(cb, carry):
         dtop, ptop = carry
+        slot = jax.lax.rem(cb, 2)
         base = pl.multiple_of(start + cb * CHUNK, 8)
-        cp = pltpu.make_async_copy(
-            s_hbm.at[pl.ds(base, CHUNK), :], band_ref, sem)
-        cp.start()
-        cp.wait()
+
+        @pl.when(cb + 1 < n_act)
+        def _():
+            chunk_dma(1 - slot, cb + 1).start()
+
+        chunk_dma(slot, cb).wait()
+        # sub-REF (not a value load): slices stay lazy column reads
+        bnd = band_ref.at[slot]
 
         # accumulate one axis at a time: three simultaneous [CHUNK, T]
         # diff temporaries would triple the peak VMEM footprint
-        d = band_ref[:, 0:1] - qx      # [CHUNK, T]
+        d = bnd[:, 0:1] - qx           # [CHUNK, T]
         d2 = d * d
-        d = band_ref[:, 1:2] - qy
+        d = bnd[:, 1:2] - qy
         d2 = d2 + d * d
-        d = band_ref[:, 2:3] - qz
+        d = bnd[:, 2:3] - qz
         d2 = d2 + d * d
-        ok = (band_ref[:, 3:4] == qcid) & (d2 <= r2)
+        ok = (bnd[:, 3:4] == qcid) & (d2 <= r2)
         d2 = jnp.where(ok, d2, _INF)
 
         # sweep bound: no query has more candidates in this chunk than the
@@ -223,8 +242,8 @@ def band_select(
                          memory_space=pltpu.VMEM),
         ] if with_dists else []),
         scratch_shapes=[
-            pltpu.VMEM((chunk, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, chunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out_shape = [jax.ShapeDtypeStruct((max_k, nq), jnp.int32)]

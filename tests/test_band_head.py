@@ -97,9 +97,13 @@ def test_band_head_count_semantics_with_zero_rows():
                                np.asarray(scores_xla), atol=1e-6)
 
 
-def test_train_path_never_uses_band_head():
-    """Training needs the differentiable XLA formulation; the band gate
-    must be off under train=True even with full band state present."""
+def test_band_head_train_grad_matches_xla():
+    """The training path rides the band head through its custom VJP
+    (config.bandhead_train): value AND gradient must match the XLA
+    gather formulation on the same pyramid. The backward is one
+    transposed band sweep (dx[r] = sum_t sel[r,t] g[t]); the neighbor
+    count's cotangent is zero in both formulations (it is a count of
+    nonzero rows)."""
     cfg, pyr = _band_pyramid(seed=9)
     rng = np.random.default_rng(13)
     c0 = pyr["points"][0].shape[0]
@@ -107,10 +111,24 @@ def test_train_path_never_uses_band_head():
         rng.uniform(0.0, 1.0, size=(c0, 32)).astype(np.float32)
     ) * pyr["masks"][0][:, None]
 
-    # train=True must be differentiable end to end (the band head kernel is
-    # forward-only, so a grad through it would fail)
-    def loss(ff):
-        return jnp.sum(detection_scores(pyr, ff, train=True, config=cfg))
+    # weighted sum so the cotangent is non-uniform across rows/channels
+    w = jnp.asarray(rng.normal(size=(c0, 1)).astype(np.float32))
 
-    g = jax.grad(loss)(f)
-    assert np.all(np.isfinite(np.asarray(g)))
+    def loss_band(ff):
+        return jnp.sum(w * detection_scores(pyr, ff, train=True,
+                                            config=cfg))
+
+    pyr_plain = dict(pyr)
+    pyr_plain["band"] = {}
+    pyr_plain["sel_thr"] = {}
+
+    def loss_xla(ff):
+        return jnp.sum(w * detection_scores(pyr_plain, ff, train=True,
+                                            config=cfg))
+
+    assert getattr(cfg, "bandhead_train", False)
+    vb, gb = jax.value_and_grad(loss_band)(f)
+    vx, gx = jax.value_and_grad(loss_xla)(f)
+    np.testing.assert_allclose(float(vb), float(vx), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gx),
+                               atol=1e-5, rtol=1e-5)

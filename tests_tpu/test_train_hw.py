@@ -36,10 +36,14 @@ def _tree_rel_err(a, b):
 def test_one_train_step_band_vs_xla_on_hw():
     def make_cfg(max_layer):
         cfg = D3FeatConfig()
-        cfg.caps = PyramidCaps(points=(2048, 1024, 512, 256, 128),
+        cfg.caps = PyramidCaps(points=(2048, 1536, 1024, 512, 256),
                                neighbors=(40,) * 5, corr=32)
         cfg.query_tile = 256
         cfg.bandconv_max_layer = max_layer
+        # the "xla" arm must be FULLY XLA (head included) so the band arm's
+        # head kernel fwd+bwd is actually compared against the reference
+        # formulation, not against itself
+        cfg.bandhead_train = max_layer >= 0
         return cfg
 
     rng = np.random.default_rng(11)
@@ -49,7 +53,7 @@ def test_one_train_step_band_vs_xla_on_hw():
     b = pack_pair(pts0, pts1, np.ones((n, 1), np.float32),
                   np.ones((n, 1), np.float32), corr, dk,
                   point_capacity=2048, corr_capacity=32)
-    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch = {k: jnp.asarray(v) for k, v in b._asdict().items()}
 
     results = {}
     for tag, max_layer in (("band", 99), ("xla", -1)):

@@ -41,6 +41,10 @@ from d3feat_tpu.train.step import init_train_state, make_extract_step
 
 PEAK_FLOPS = 197e12   # bf16 MXU, one v5e chip
 PEAK_BW = 819e9       # HBM GB/s
+# VPU f32 elementwise peak: 8 sublanes x 128 lanes x 4 ALUs x ~0.94 GHz.
+# Not published per-chip the way MXU peaks are — treated as an estimate;
+# used only for sections whose work is selection/sweep VPU arithmetic.
+PEAK_VPU = 3.9e12
 STEPS = 5
 
 # ---------------------------------------------------------------- analytic
@@ -78,6 +82,61 @@ def band_conv_cost(spec, pyr, cfg, num_clouds):
     flops = 2 * kp * (rows * T * cin_p + int(n_chunks.sum()) * T * cin_p * cout)
     # DMA: coords [CHUNK,128] f32 + features [CHUNK,Cpad] f32 per chunk
     bytes_ = rows * (128 + cin_p) * 4
+    return flops, bytes_
+
+
+def select_cost(pyr, cfg, num_clouds):
+    """(vpu_flops, hbm_bytes) of ALL fused band-select searches.
+
+    The select kernel is VPU-bound, not MXU-bound: per band chunk it does
+    ~12 elementwise ops per [CHUNK, T] element for the exact distances +
+    masking, then k_dyn argmin-extraction sweeps of ~8 ops each over the
+    same panel. Rows come from the REAL per-tile band windows; the sweep
+    count per tile is approximated by the tile's max ACTUAL neighbor
+    count (each sweep extracts exactly one candidate, so the per-chunk
+    sweep total is >= the tile max and <= max + n_chunks; we add the
+    n_chunks slack). DMA bytes: each band row is one [128]-lane f32 row.
+    """
+    L = len(pyr["lengths"])
+    searches = []
+    for l in range(L):
+        r = cfg.first_subsampling_dl * cfg.conv_radius * (2.0 ** l)
+        searches.append((l, l, r, pyr["neighbors"][l]))
+        if l + 1 < L:
+            searches.append((l + 1, l, r, pyr["pools"][l]))
+            searches.append((l, l + 1, 2.0 * r, pyr["upsamples"][l]))
+    flops = bytes_ = 0
+    for q_level, s_level, r, lists in searches:
+        qb = pyr["band"][q_level]
+        sb = pyr["band"][s_level]
+        s_rows = np.asarray(sb["s_packed"]).shape[0]
+        nq = np.asarray(qb["q_packed"]).shape[1]
+        ratio = max(1, -(-s_rows // nq))
+        qt = 128 if (ratio > 1 or s_rows < 256) else 256
+        _, starts, ends, _, _, _ = band_query_tiles(
+            {k: jnp.asarray(v) for k, v in qb.items()},
+            {k: jnp.asarray(v) for k, v in sb.items()},
+            num_clouds, r, qt, s_rows)
+        starts = (np.asarray(starts) // 8) * 8
+        cap = level_band_cap(s_rows, num_clouds,
+                             getattr(cfg, "band_frac", 0.1),
+                             tile=qt, ratio=ratio)
+        chunk = _pick_chunk(cap)
+        ends = np.clip(np.asarray(ends), starts, starts + cap)
+        n_chunks = np.ceil((ends - starts) / chunk).astype(np.int64)
+        rows = int(n_chunks.sum()) * chunk
+        flops += rows * qt * 12                      # distances + masking
+        # actual neighbor counts -> sweep estimate per tile
+        arr = np.asarray(lists)
+        shadow = arr.max()                           # empty marker
+        counts = (arr != shadow).sum(axis=1)         # [nq_real]
+        counts = np.pad(counts, (0, (-len(counts)) % qt))
+        per_tile = counts.reshape(-1, qt).max(axis=1)
+        sweeps = int(per_tile.sum()) + int(n_chunks.sum())
+        # per sweep: one [chunk, qt] panel of ~8 ops (the sweep runs on
+        # whichever single chunk is live, so chunk x qt per sweep)
+        flops += sweeps * chunk * qt * 8
+        bytes_ += rows * 128 * 4
     return flops, bytes_
 
 
@@ -176,6 +235,11 @@ def main():
             ana["unary / linear"][0] += fl
             ana["unary / linear"][1] += by
 
+    # fused band-select searches: VPU-op + DMA-byte model (real windows)
+    fl, by = select_cost(pyr, cfg, 2)
+    ana["select kernels"][0] += fl
+    ana["select kernels"][1] += by
+
     # gate + max_pool + head byte estimates (gather volumes)
     n0 = int(np.sum(lengths[0]))
     k0 = cfg.caps.neighbors[0]
@@ -230,16 +294,23 @@ def main():
     us = {k: v / STEPS for k, v in meas.items()}
     total_us = total / STEPS
 
+    # sections whose arithmetic is selection/sweep VPU work, not model
+    # matmul FLOPs: their op counts bound their OWN roofline but are
+    # excluded from the MFU numerator (MFU = model FLOPs / MXU peak)
+    vpu_buckets = {"select kernels"}
+
     rows = []
     tot_fl = tot_by = 0
     for name in [b[0] for b in BUCKETS] + ["other"]:
         t = us.get(name, 0.0)
         fl, by = ana.get(name, (0, 0))
-        tot_fl += fl
+        if name not in vpu_buckets:
+            tot_fl += fl
         tot_by += by
         tf = fl / (t * 1e-6) / 1e12 if t else 0.0
         gb = by / (t * 1e-6) / 1e9 if t else 0.0
-        bound = max(fl / PEAK_FLOPS, by / PEAK_BW) * 1e6  # us at roofline
+        peak = PEAK_VPU if name in vpu_buckets else PEAK_FLOPS
+        bound = max(fl / peak, by / PEAK_BW) * 1e6  # us at roofline
         # no cost model => render 'n/a', not 0.0 (0.0 would read as 'far
         # below roofline' when it actually means 'not modeled')
         modeled = (fl > 0 or by > 0) and t > 0
@@ -274,7 +345,12 @@ def main():
             "(they do move bytes —\nthe blank is honest, not zero "
             "traffic). Byte figures for the eval local-max\ngate, shortcut "
             "max_pool and the head kernel are rough gather/DMA-volume\n"
-            "estimates, not exact counts.\n\n```\n" + table + "\n```\n\n"
+            "estimates, not exact counts. The select-kernel row counts "
+            "VPU selection\nops (distances + argmin-extraction sweeps "
+            "from real band windows and real\nneighbor counts) against "
+            "an ESTIMATED ~3.9 Top/s f32 VPU peak — these ops\nbound its "
+            "own roofline but are excluded from the MFU numerator (MFU "
+            "counts\nmodel FLOPs only).\n\n```\n" + table + "\n```\n\n"
             "The pipeline is NOT MXU-bound: the useful conv FLOPs are "
             "small at these\npoint counts, and the time goes to "
             "selection/influence VPU work, sorts and\ngathers. The honest "
