@@ -156,6 +156,11 @@ class Trainer:
         # force a host<->device roundtrip every iteration (the TPU rides a
         # tunnel here — each sync costs milliseconds and breaks dispatch
         # pipelining). Drain every _SYNC steps and at epoch end.
+        # INVARIANT: every exit from this loop body must be followed by a
+        # drain() before `meters` is read — the final drain() below covers
+        # the natural end and the StopIteration break; any new early exit
+        # (return/break) added here must call drain() first or up to
+        # _SYNC-1 steps of metrics are silently dropped.
         _SYNC = 32
         pending = []
 
@@ -207,6 +212,7 @@ class Trainer:
                         f"data {data_timer.avg * 1e3:.1f}ms "
                         f"step {step_timer.avg * 1e3:.1f}ms"
                     )
+        drain()  # up to _SYNC-1 steps still pending at loop exit
         return {k: m.avg for k, m in meters.items()}
 
     def evaluate(self, epoch: int) -> Dict[str, float]:
