@@ -151,6 +151,12 @@ class D3FeatConfig:
     # XLA [C0, K0, D] gather + scatter-add backward. Eval/extract always
     # uses the fused head when band state is present.
     bandhead_train: bool = True
+    # eval-time hard local-max gate (reference: architectures.py:361-366):
+    # > 0 computes the [*, K0, D] gate gather only for the top-M points by
+    # ungated score (gating only zeroes, so top-k keypoint selection is
+    # exact whenever the top-M hold >= k detected points; 0 = gate every
+    # point, bit-identical to the reference for all rows)
+    eval_gate_topm: int = 0
     seed: int = 0
     deterministic_kernel_points: bool = True  # disable load-time rotation/jitter
 

@@ -234,17 +234,39 @@ def detection_scores(batch, features: jax.Array, *, train: bool,
     scores = jnp.max(all_scores, axis=1, keepdims=True)  # [C0, 1]
 
     if not train:
-        if use_band_head:
-            # the hard local-max gate still needs the per-neighbor maxima:
-            # a max over selected rows cannot ride the MXU (see
-            # ops/pallas/head docstring), so this one gather remains
+        # The hard local-max gate (reference: architectures.py:361-366)
+        # needs per-neighbor per-channel maxima: a max over selected rows
+        # cannot ride the MXU (see ops/pallas/head docstring), so it is a
+        # [*, K0, D] gather + reduce_max. ``eval_gate_topm`` > 0 restricts
+        # that gather to the top-M points by ungated score: gating only
+        # ever ZEROES scores, so any point outside the top-M has gated
+        # score <= every detected point inside it, and top-k keypoint
+        # selection (the only consumer of eval scores, reference
+        # test.py:52-57) is EXACT whenever the top-M contain >= k detected
+        # points (M defaults to 16x the protocol's k=250). Non-candidate
+        # rows report score 0 (they are never selectable anyway).
+        topm = getattr(config, "eval_gate_topm", 0) if config is not None else 0
+        s_flat = scores[:, 0]
+        if topm and topm < f.shape[0]:
+            _, cand = jax.lax.top_k(s_flat, topm)  # [M]
             f_ext = jnp.concatenate(
                 [f, jnp.zeros((1, f.shape[1]), f.dtype)], axis=0)
-            neighbor_features = jnp.take(f_ext, neighbor, axis=0)
-        local_max = jnp.max(neighbor_features, axis=1)  # [C0, D]
-        is_local_max = (f == local_max).astype(f.dtype)
-        detected = jnp.max(is_local_max, axis=1, keepdims=True)
-        scores = scores * detected
+            nf_cand = jnp.take(f_ext, jnp.take(neighbor, cand, axis=0),
+                               axis=0)  # [M, K0, D]
+            local_max = jnp.max(nf_cand, axis=1)  # [M, D]
+            is_local_max = (jnp.take(f, cand, axis=0) == local_max)
+            det = jnp.max(is_local_max.astype(f.dtype), axis=1)  # [M]
+            gated = jnp.take(s_flat, cand) * det
+            scores = jnp.zeros_like(s_flat).at[cand].set(gated)[:, None]
+        else:
+            if use_band_head:
+                f_ext = jnp.concatenate(
+                    [f, jnp.zeros((1, f.shape[1]), f.dtype)], axis=0)
+                neighbor_features = jnp.take(f_ext, neighbor, axis=0)
+            local_max = jnp.max(neighbor_features, axis=1)  # [C0, D]
+            is_local_max = (f == local_max).astype(f.dtype)
+            detected = jnp.max(is_local_max, axis=1, keepdims=True)
+            scores = scores * detected
     return scores
 
 

@@ -125,6 +125,12 @@ class Trainer:
         self.start_epoch = int(meta["epoch"])
         self.best_loss = float(meta["best_loss"])
         self.best_acc = float(meta["best_acc"])
+        # keep the train/ step axis monotone across resumes (epochs run
+        # exactly min(len(loader), training_max_iter) steps unless the
+        # loader is exhausted early, which the corpus loader never is)
+        self.global_iter = self.start_epoch * min(
+            len(self.train_loader), self.config.training_max_iter
+        )
         if self.verbose:
             print(f"[trainer] resumed {name!r} at epoch {self.start_epoch}")
 

@@ -137,3 +137,34 @@ def test_grads_finite_through_full_model(rng):
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     total = sum(float(jnp.abs(l).sum()) for l in leaves)
     assert total > 0
+
+
+def test_eval_gate_topm_selects_same_keypoints(rng):
+    """eval_gate_topm restricts the hard local-max gate to the top-M
+    candidates by ungated score. Gating only zeroes, so the top-k keypoint
+    selection (the only consumer of eval scores, reference test.py:52-57)
+    must be EXACTLY the full gate's whenever the top-M hold >= k detected
+    points, with identical scores on the selected points."""
+    cfg = tiny_config()
+    batch, _ = _build_inputs(rng, cfg)
+    params, state, specs = init_kpfcnn(jax.random.PRNGKey(0), cfg)
+    out_full, _, _ = apply_kpfcnn(params, state, batch, cfg, specs,
+                                  train=False)
+    full = np.asarray(out_full.scores[:, 0])
+
+    cfg_m = tiny_config()
+    cfg_m.eval_gate_topm = 128
+    out_m, _, _ = apply_kpfcnn(params, state, batch, cfg_m, specs,
+                               train=False)
+    gated = np.asarray(out_m.scores[:, 0])
+
+    detected_in_topm = int((gated > 0).sum())
+    k = min(32, detected_in_topm)
+    assert k > 0, "fixture produced no detected candidates"
+    top_full = set(np.argsort(full)[-k:][::-1].tolist())
+    top_m = set(np.argsort(gated)[-k:][::-1].tolist())
+    assert top_full == top_m
+    idx = sorted(top_full)
+    np.testing.assert_allclose(gated[idx], full[idx], rtol=0, atol=0)
+    # non-candidate rows report zero (never selectable either way)
+    assert (gated > 0).sum() <= cfg_m.eval_gate_topm
