@@ -73,6 +73,11 @@ def main():
         corr=128,
     )
     cfg.query_tile = 512
+    # hard local-max gate only for the top-M candidates per call: top-k
+    # keypoint selection stays exact for the protocol's k=250 per fragment
+    # (16x margin per fragment; see config.eval_gate_topm); saves the
+    # full-cloud [*, K0, D] gate gather (~1.7 ms/frag, MFU.md)
+    cfg.eval_gate_topm = 16 * 250 * B
 
     ts, specs = init_train_state(jax.random.key(0), cfg)
     n_dev = 1

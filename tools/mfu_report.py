@@ -51,7 +51,15 @@ STEPS = 5
 
 
 def band_conv_cost(spec, pyr, cfg, num_clouds):
-    """(flops, hbm_bytes) of one fused band conv from REAL occupancies."""
+    """(mxu_flops, hbm_bytes, vpu_ops) of one fused band conv from REAL
+    occupancies.
+
+    The kernel is VPU-bound, not MXU-bound (ROUND2_NOTES bf16 section):
+    per band chunk the threshold selection costs ~14 elementwise passes
+    over the [CHUNK, T] panel and each kernel point's influence chain
+    (two broadcast adds + clamp + sqrt + FMA + clamp, sqrt weighted ~3x)
+    ~8 more, so the real per-section bound is the max of the MXU, HBM
+    and VPU terms."""
     l = spec.layer
     q_level = l + 1 if spec.strided else l
     qb = {k: np.asarray(v) for k, v in pyr["band"][q_level].items()}
@@ -82,11 +90,14 @@ def band_conv_cost(spec, pyr, cfg, num_clouds):
     flops = 2 * kp * (rows * T * cin_p + int(n_chunks.sum()) * T * cin_p * cout)
     # DMA: coords [CHUNK,128] f32 + features [CHUNK,Cpad] f32 per chunk
     bytes_ = rows * (128 + cin_p) * 4
-    return flops, bytes_
+    # VPU: ~14 selection passes + ~8 influence passes per kp, all at
+    # [CHUNK, T] (see docstring)
+    vpu = rows * T * (14 + 8 * kp)
+    return flops, bytes_, vpu
 
 
 def select_cost(pyr, cfg, num_clouds):
-    """(vpu_flops, hbm_bytes) of ALL fused band-select searches.
+    """(vpu_ops, hbm_bytes) of ALL fused band-select searches.
 
     The select kernel is VPU-bound, not MXU-bound: per band chunk it does
     ~12 elementwise ops per [CHUNK, T] element for the exact distances +
@@ -204,13 +215,14 @@ def main():
     lengths = [np.asarray(ln) for ln in pyr["lengths"]]
     specs = make_kpfcnn_specs(cfg)
 
-    ana = defaultdict(lambda: [0, 0])  # bucket -> [flops, bytes]
+    ana = defaultdict(lambda: [0, 0, 0])  # bucket -> [mxu_flops, bytes, vpu]
     for s in list(specs.encoder) + list(specs.decoder):
         if s.kind in ("simple", "resnetb"):
             if band_conv_eligible(s, pyr, cfg, train=False):
-                fl, by = band_conv_cost(s, pyr, cfg, 2)
+                fl, by, vp = band_conv_cost(s, pyr, cfg, 2)
                 ana["band_conv kernels"][0] += fl
                 ana["band_conv kernels"][1] += by
+                ana["band_conv kernels"][2] += vp
             else:
                 fl, by = xla_conv_cost(s, lengths, cfg)
                 ana["XLA convs (deep)"][0] += fl
@@ -236,8 +248,8 @@ def main():
             ana["unary / linear"][1] += by
 
     # fused band-select searches: VPU-op + DMA-byte model (real windows)
-    fl, by = select_cost(pyr, cfg, 2)
-    ana["select kernels"][0] += fl
+    vp, by = select_cost(pyr, cfg, 2)
+    ana["select kernels"][2] += vp
     ana["select kernels"][1] += by
 
     # gate + max_pool + head byte estimates (gather volumes)
@@ -294,36 +306,32 @@ def main():
     us = {k: v / STEPS for k, v in meas.items()}
     total_us = total / STEPS
 
-    # sections whose arithmetic is selection/sweep VPU work, not model
-    # matmul FLOPs: their op counts bound their OWN roofline but are
-    # excluded from the MFU numerator (MFU = model FLOPs / MXU peak)
-    vpu_buckets = {"select kernels"}
-
     rows = []
     tot_fl = tot_by = 0
     for name in [b[0] for b in BUCKETS] + ["other"]:
         t = us.get(name, 0.0)
-        fl, by = ana.get(name, (0, 0))
-        if name not in vpu_buckets:
-            tot_fl += fl
+        fl, by, vp = ana.get(name, (0, 0, 0))
+        # MFU numerator counts model (MXU) FLOPs only; VPU selection /
+        # influence ops bound their section's roofline but are not MFU
+        tot_fl += fl
         tot_by += by
         tf = fl / (t * 1e-6) / 1e12 if t else 0.0
         gb = by / (t * 1e-6) / 1e9 if t else 0.0
-        peak = PEAK_VPU if name in vpu_buckets else PEAK_FLOPS
-        bound = max(fl / peak, by / PEAK_BW) * 1e6  # us at roofline
+        # per-section bound: the slowest of the MXU, HBM and VPU terms
+        bound = max(fl / PEAK_FLOPS, by / PEAK_BW, vp / PEAK_VPU) * 1e6
         # no cost model => render 'n/a', not 0.0 (0.0 would read as 'far
         # below roofline' when it actually means 'not modeled')
-        modeled = (fl > 0 or by > 0) and t > 0
-        rows.append((name, t, fl / 1e9, by / 1e6, tf, gb,
+        modeled = (fl > 0 or by > 0 or vp > 0) and t > 0
+        rows.append((name, t, fl / 1e9, by / 1e6, vp / 1e9, tf, gb,
                      100.0 * bound / t if modeled else None))
 
     hdr = (f"{'section':<28} {'us/frag':>8} {'GFLOP':>7} {'MB':>7} "
-           f"{'TFLOP/s':>8} {'GB/s':>7} {'%roofline':>9}")
+           f"{'GVop':>7} {'TFLOP/s':>8} {'GB/s':>7} {'%roofline':>9}")
     lines = [hdr, "-" * len(hdr)]
-    for name, t, gfl, mb, tf, gb, pct in rows:
+    for name, t, gfl, mb, gvp, tf, gb, pct in rows:
         pct_s = f"{pct:9.1f}" if pct is not None else f"{'n/a':>9}"
         lines.append(f"{name:<28} {t:8.0f} {gfl:7.2f} {mb:7.1f} "
-                     f"{tf:8.2f} {gb:7.1f} {pct_s}")
+                     f"{gvp:7.2f} {tf:8.2f} {gb:7.1f} {pct_s}")
     mfu = tot_fl / (total_us * 1e-6) / PEAK_FLOPS * 100.0
     lines.append("-" * len(hdr))
     lines.append(
@@ -345,12 +353,14 @@ def main():
             "(they do move bytes —\nthe blank is honest, not zero "
             "traffic). Byte figures for the eval local-max\ngate, shortcut "
             "max_pool and the head kernel are rough gather/DMA-volume\n"
-            "estimates, not exact counts. The select-kernel row counts "
-            "VPU selection\nops (distances + argmin-extraction sweeps "
-            "from real band windows and real\nneighbor counts) against "
-            "an ESTIMATED ~3.9 Top/s f32 VPU peak — these ops\nbound its "
-            "own roofline but are excluded from the MFU numerator (MFU "
-            "counts\nmodel FLOPs only).\n\n```\n" + table + "\n```\n\n"
+            "estimates, not exact counts. `GVop` counts VPU elementwise "
+            "ops (selection\ndistances + argmin-extraction sweeps for the "
+            "select kernels; threshold\nselection + per-kernel-point "
+            "influence chains for the band convs) against\nan ESTIMATED "
+            "~3.9 Top/s f32 VPU peak; each section's `%roofline` is the "
+            "max of\nits MXU, HBM and VPU terms, and VPU ops are excluded "
+            "from the MFU numerator\n(MFU counts model FLOPs only).\n\n"
+            "```\n" + table + "\n```\n\n"
             "The pipeline is NOT MXU-bound: the useful conv FLOPs are "
             "small at these\npoint counts, and the time goes to "
             "selection/influence VPU work, sorts and\ngathers. The honest "
