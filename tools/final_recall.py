@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (default: let JAX resolve)")
     ap.add_argument("--out", type=str, default="TRAIN_RECALL_r04.json")
+    ap.add_argument("--scene_cache", type=str, default=None,
+                    help="directory of pre-generated scenes (scene_<i>.npz "
+                    "written on first run): scene generation is minutes of "
+                    "host CPU per scene, so the chip phase loads them")
     args = ap.parse_args()
 
     import jax
@@ -72,9 +76,24 @@ def main():
 
     scenes = []
     for s in range(args.scenes):
-        rng = np.random.default_rng(args.seed + s)
-        frags, poses, _ = make_scene(rng, args.fragments, (120, 90),
-                                     frame=args.frame, warp=args.warp)
+        cache = (os.path.join(args.scene_cache, f"scene_{args.seed + s}"
+                              f"_{args.fragments}_{args.frame}_{args.warp}"
+                              ".npz")
+                 if args.scene_cache else None)
+        if cache and os.path.exists(cache):
+            z = np.load(cache)
+            frags = [z[f"frag_{i}"] for i in range(int(z["n_frags"]))]
+            poses = {str(k): z[f"pose_{k}"] for k in z["pair_keys"]}
+        else:
+            rng = np.random.default_rng(args.seed + s)
+            frags, poses, _ = make_scene(rng, args.fragments, (120, 90),
+                                         frame=args.frame, warp=args.warp)
+            if cache:
+                os.makedirs(args.scene_cache, exist_ok=True)
+                np.savez(cache, n_frags=len(frags),
+                         pair_keys=np.array(list(poses)),  # '<U..' strings
+                         **{f"frag_{i}": f for i, f in enumerate(frags)},
+                         **{f"pose_{k}": p for k, p in poses.items()})
         print(f"scene {s}: {len(frags)} fragments "
               f"({[len(f) for f in frags]}), {len(poses)} gt pairs",
               flush=True)
