@@ -206,13 +206,26 @@ def main():
                 from d3feat_tpu.train.step import init_train_state
                 import json as _json
 
-                with open(os.path.join(args.snapshot, "config.json")) as fh:
-                    tcfg = D3FeatConfig.from_dict(_json.load(fh))
-                ts, _ = init_train_state(jax.random.key(tcfg.seed), tcfg)
-                trained, meta = SnapshotManager(args.snapshot).restore(
-                    args.snapshot_name, ts)
+                if args.snapshot.endswith(".npz"):
+                    # portable params-only artifact (tools/export_weights.py)
+                    from d3feat_tpu.compat.portable import import_npz
+
+                    with np.load(args.snapshot, allow_pickle=False) as z:
+                        meta0 = _json.loads(str(z["__meta__"]))
+                    tcfg = D3FeatConfig.from_dict(meta0["config"])
+                    ts, _ = init_train_state(jax.random.key(tcfg.seed), tcfg)
+                    params, model_state, meta = import_npz(
+                        args.snapshot, ts.params, ts.model_state)
+                    meta.pop("config", None)
+                else:
+                    with open(os.path.join(args.snapshot,
+                                           "config.json")) as fh:
+                        tcfg = D3FeatConfig.from_dict(_json.load(fh))
+                    ts, _ = init_train_state(jax.random.key(tcfg.seed), tcfg)
+                    trained, meta = SnapshotManager(args.snapshot).restore(
+                        args.snapshot_name, ts)
+                    params, model_state = trained.params, trained.model_state
                 print("trained snapshot:", meta)
-                params, model_state = trained.params, trained.model_state
                 sd = {
                     k: torch.from_numpy(np.asarray(v).copy())
                     if getattr(v, "dtype", None) != np.int64

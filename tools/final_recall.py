@@ -62,16 +62,32 @@ def main():
     from d3feat_tpu.config import D3FeatConfig
     from d3feat_tpu.eval.extract import FeatureExtractor
     from d3feat_tpu.eval.registration import FragmentFeatures, register_scene
-    from d3feat_tpu.train.checkpoint import SnapshotManager
     from d3feat_tpu.train.step import init_train_state
 
-    with open(os.path.join(args.snapshot, "config.json")) as f:
-        cfg = D3FeatConfig.from_dict(json.load(f))
+    if args.snapshot.endswith(".npz"):
+        # portable params-only artifact (tools/export_weights.py) — the
+        # trained model committed in artifacts/ restores without runs/
+        from d3feat_tpu.compat.portable import import_npz
 
-    ts, _specs = init_train_state(jax.random.key(cfg.seed), cfg)
-    mgr = SnapshotManager(args.snapshot)
-    trained, meta = mgr.restore(args.name, ts)
-    print("loaded", args.name, "meta:", meta, "backend:",
+        import numpy as _np
+
+        with _np.load(args.snapshot, allow_pickle=False) as z:
+            meta0 = json.loads(str(z["__meta__"]))
+        cfg = D3FeatConfig.from_dict(meta0["config"])
+        ts, _specs = init_train_state(jax.random.key(cfg.seed), cfg)
+        p, s, meta = import_npz(args.snapshot, ts.params, ts.model_state)
+        trained = ts._replace(params=p, model_state=s)
+        meta.pop("config", None)
+    else:
+        from d3feat_tpu.train.checkpoint import SnapshotManager
+
+        with open(os.path.join(args.snapshot, "config.json")) as f:
+            cfg = D3FeatConfig.from_dict(json.load(f))
+
+        ts, _specs = init_train_state(jax.random.key(cfg.seed), cfg)
+        mgr = SnapshotManager(args.snapshot)
+        trained, meta = mgr.restore(args.name, ts)
+    print("loaded", args.snapshot, args.name, "meta:", meta, "backend:",
           jax.default_backend(), flush=True)
 
     scenes = []
