@@ -51,27 +51,36 @@ def export_npz(path: str, params: Any, model_state: Any,
 def import_npz(path: str, params_template: Any, model_state_template: Any
                ) -> Tuple[Any, Any, dict]:
     """Load an export_npz artifact into the templates' pytree structure."""
-    z = np.load(path, allow_pickle=False)
-    meta = json.loads(str(z["__meta__"]))
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["__meta__"]))
 
-    def restore(tag: str, template: Any, stored_paths: np.ndarray) -> Any:
-        paths, leaves, treedef = _flatten(template)
-        stored = [str(s) for s in stored_paths]
-        if paths != stored:
-            a, b = set(paths), set(stored)
-            raise ValueError(
-                f"{tag}: artifact does not match this architecture/config; "
-                f"missing={sorted(a - b)[:4]} extra={sorted(b - a)[:4]}")
-        out = []
-        for i, (p, tmpl) in enumerate(zip(paths, leaves)):
-            arr = z[f"{tag}_{i:05d}"]
-            t = np.asarray(tmpl)
-            if arr.shape != t.shape:
-                raise ValueError(f"{tag}{p}: shape {arr.shape} != template "
-                                 f"{t.shape}")
-            out.append(arr.astype(t.dtype))
-        return jax.tree_util.tree_unflatten(treedef, out)
+        def restore(tag: str, template: Any, stored_paths: np.ndarray) -> Any:
+            paths, leaves, treedef = _flatten(template)
+            stored = [str(s) for s in stored_paths]
+            if paths != stored:
+                a, b = set(paths), set(stored)
+                raise ValueError(
+                    f"{tag}: artifact does not match this architecture/"
+                    f"config; missing={sorted(a - b)[:4]} "
+                    f"extra={sorted(b - a)[:4]}")
+            out = []
+            for i, (p, tmpl) in enumerate(zip(paths, leaves)):
+                arr = z[f"{tag}_{i:05d}"]
+                t = np.asarray(tmpl)
+                if arr.shape != t.shape:
+                    raise ValueError(
+                        f"{tag}{p}: shape {arr.shape} != template {t.shape}")
+                if arr.dtype != t.dtype:
+                    # float64 -> float32 is silent precision loss; anything
+                    # int-ish or narrowing is a wrong-artifact signal
+                    import warnings
 
-    params = restore("p", params_template, z["__paths_params__"])
-    state = restore("s", model_state_template, z["__paths_state__"])
+                    warnings.warn(
+                        f"{tag}{p}: stored dtype {arr.dtype} cast to "
+                        f"template dtype {t.dtype}", stacklevel=3)
+                out.append(arr.astype(t.dtype))
+            return jax.tree_util.tree_unflatten(treedef, out)
+
+        params = restore("p", params_template, z["__paths_params__"])
+        state = restore("s", model_state_template, z["__paths_state__"])
     return params, state, meta

@@ -125,6 +125,12 @@ class D3FeatConfig:
     # --- misc (reference: config.py:90-92) ---
     verbose: bool = True
     pretrain: str = ""
+    # portable params-only npz written (atomically, in place) on every
+    # best-acc improvement, so a host reset loses at most one epoch of
+    # trained state (the reference's torch.save snapshots live on the same
+    # disk as the run, reference trainer.py:197-210 — this goes one step
+    # further: the artifact is a single committable file). "" disables.
+    autoexport: str = ""
 
     # --- TPU-native knobs (no reference equivalent) ---
     caps: PyramidCaps = field(default_factory=PyramidCaps)

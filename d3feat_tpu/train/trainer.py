@@ -147,6 +147,7 @@ class Trainer:
                 if res["accuracy"] > self.best_acc:
                     self.best_acc = res["accuracy"]
                     self._snapshot(BEST_ACC, epoch)
+                    self._autoexport(epoch)
             if (epoch + 1) % self.config.snapshot_interval == 0:
                 self._snapshot(f"snapshot_epoch_{epoch + 1}", epoch)
         self._snapshot("model_final", self.config.max_epoch - 1)
@@ -244,6 +245,33 @@ class Trainer:
             print(f"[val] epoch {epoch}: loss {res['loss']:.4f} "
                   f"acc {res['accuracy']:.2f}%")
         return res
+
+    def _autoexport(self, epoch: int) -> None:
+        """Portable npz of the new best-acc params (config.autoexport).
+
+        Written atomically (tmp + rename) so a reset mid-write can't
+        corrupt the artifact; failure to export never kills the run.
+        """
+        path = self.config.autoexport
+        if not path:
+            return
+        try:
+            from d3feat_tpu.compat.portable import export_npz
+
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            tmp = path + ".tmp.npz"
+            export_npz(
+                tmp, self.state.params, self.state.model_state,
+                meta={"epoch": epoch + 1, "best_loss": self.best_loss,
+                      "best_acc": self.best_acc,
+                      "config": self.config.to_dict()},
+            )
+            os.replace(tmp, path)
+            if self.verbose:
+                print(f"[trainer] autoexport {path!r} @ epoch {epoch} "
+                      f"(best_acc {self.best_acc:.2f}%)")
+        except Exception as e:  # noqa: BLE001 — never take down training
+            print(f"[trainer] autoexport FAILED: {e!r}")
 
     def _snapshot(self, name: str, epoch: int) -> None:
         self.snapshots.save(

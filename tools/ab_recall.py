@@ -155,6 +155,10 @@ def main():
     ap.add_argument("--snapshot", type=str, default=None,
                     help="our snapshot dir (e.g. runs/scan_long/scan_long)")
     ap.add_argument("--snapshot_name", type=str, default="model_best_loss")
+    ap.add_argument("--out", type=str, default=None,
+                    help="output JSON name at the repo root (default: "
+                    "AB_RECALL_TRAINED.json with --snapshot, else "
+                    "AB_RECALL.json)")
     ap.add_argument("--frame", type=str, default="axis",
                     choices=["axis", "so3"],
                     help="per-fragment frame distribution (see make_scene)")
@@ -293,7 +297,8 @@ def main():
                     "shared init (pretrained .pth unavailable: no egress)"),
     }
     print(json.dumps(out, indent=2))
-    out_name = "AB_RECALL_TRAINED.json" if args.snapshot else "AB_RECALL.json"
+    out_name = args.out or (
+        "AB_RECALL_TRAINED.json" if args.snapshot else "AB_RECALL.json")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), out_name), "w") as f:
         json.dump(out, f, indent=2)

@@ -42,8 +42,12 @@ def main():
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     export_npz(args.out, state.params, state.model_state, meta=meta)
     mb = os.path.getsize(args.out) / 1e6
-    print(f"wrote {args.out} ({mb:.1f} MB), meta epoch={meta['epoch']} "
-          f"best_acc={meta['best_acc']:.4f}")
+    # periodic/last snapshots may lack epoch/best_acc in their meta
+    epoch = meta.get("epoch", "?")
+    acc = meta.get("best_acc")
+    acc = f"{acc:.4f}" if isinstance(acc, (int, float)) else "?"
+    print(f"wrote {args.out} ({mb:.1f} MB), meta epoch={epoch} "
+          f"best_acc={acc}")
 
 
 if __name__ == "__main__":

@@ -12,10 +12,10 @@ proof of the trained snapshot on the production extraction path:
   10 cm, recall at 5%) for (a) the trained snapshot and (b) the same
   architecture at init.  (protocol: reference test.py:20-82)
 
-Run after training:
-  python tools/final_recall.py --snapshot runs/r4/corpus4w \
-      --name model_best_acc --warp 2.0 --scenes 4 --fragments 12
-Writes TRAIN_RECALL_r04.json at the repo root.
+Run after training (directory snapshot or portable .npz artifact):
+  python tools/final_recall.py --snapshot artifacts/model_best_acc_r5.npz \
+      --warp 2.0 --scenes 4 --fragments 12
+Writes TRAIN_RECALL_r05.json (--out) at the repo root.
 """
 
 import argparse
@@ -44,7 +44,7 @@ def main():
     ap.add_argument("--batch_fragments", type=int, default=2)
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (default: let JAX resolve)")
-    ap.add_argument("--out", type=str, default="TRAIN_RECALL_r04.json")
+    ap.add_argument("--out", type=str, default="TRAIN_RECALL_r05.json")
     ap.add_argument("--scene_cache", type=str, default=None,
                     help="directory of pre-generated scenes (scene_<i>.npz "
                     "written on first run): scene generation is minutes of "
@@ -58,7 +58,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from ab_recall import make_scene
     from d3feat_tpu.config import D3FeatConfig
     from d3feat_tpu.eval.extract import FeatureExtractor
     from d3feat_tpu.eval.registration import FragmentFeatures, register_scene
@@ -90,26 +89,12 @@ def main():
     print("loaded", args.snapshot, args.name, "meta:", meta, "backend:",
           jax.default_backend(), flush=True)
 
+    from scene_cache import get_scene
+
     scenes = []
     for s in range(args.scenes):
-        cache = (os.path.join(args.scene_cache, f"scene_{args.seed + s}"
-                              f"_{args.fragments}_{args.frame}_{args.warp}"
-                              ".npz")
-                 if args.scene_cache else None)
-        if cache and os.path.exists(cache):
-            z = np.load(cache)
-            frags = [z[f"frag_{i}"] for i in range(int(z["n_frags"]))]
-            poses = {str(k): z[f"pose_{k}"] for k in z["pair_keys"]}
-        else:
-            rng = np.random.default_rng(args.seed + s)
-            frags, poses, _ = make_scene(rng, args.fragments, (120, 90),
-                                         frame=args.frame, warp=args.warp)
-            if cache:
-                os.makedirs(args.scene_cache, exist_ok=True)
-                np.savez(cache, n_frags=len(frags),
-                         pair_keys=np.array(list(poses)),  # '<U..' strings
-                         **{f"frag_{i}": f for i, f in enumerate(frags)},
-                         **{f"pose_{k}": p for k, p in poses.items()})
+        frags, poses = get_scene(args.seed + s, args.fragments, args.frame,
+                                 args.warp, cache_dir=args.scene_cache)
         print(f"scene {s}: {len(frags)} fragments "
               f"({[len(f) for f in frags]}), {len(poses)} gt pairs",
               flush=True)
@@ -159,7 +144,8 @@ def main():
         "frame": args.frame,
         "warp": args.warp,
         "num_points": args.num_points,
-        "snapshot": os.path.join(args.snapshot, args.name),
+        "snapshot": (args.snapshot if args.snapshot.endswith(".npz")
+                     else os.path.join(args.snapshot, args.name)),
         "epochs_meta": meta,
         "per_scene_recall": per_scene,
         **{f"{k}_{t}": v for t, r in results.items() for k, v in r.items()},

@@ -37,26 +37,18 @@ def main():
     if args.nice:
         os.nice(19)
 
-    from ab_recall import make_scene
+    from scene_cache import cache_path, get_scene
 
     os.makedirs(args.out, exist_ok=True)
     for s in range(args.scenes):
-        path = os.path.join(
-            args.out, f"scene_{args.seed + s}_{args.fragments}_"
-                      f"{args.frame}_{args.warp}.npz")
+        path = cache_path(args.out, args.seed + s, args.fragments,
+                          args.frame, args.warp)
         if os.path.exists(path):
             print(f"scene {s}: exists", flush=True)
             continue
         t0 = time.time()
-        rng = np.random.default_rng(args.seed + s)
-        frags, poses, _ = make_scene(rng, args.fragments, (120, 90),
-                                     frame=args.frame, warp=args.warp)
-        tmp = path + ".tmp.npz"
-        np.savez(tmp, n_frags=len(frags),
-                 pair_keys=np.array(list(poses)),
-                 **{f"frag_{i}": f for i, f in enumerate(frags)},
-                 **{f"pose_{k}": p for k, p in poses.items()})
-        os.replace(tmp, path)
+        frags, poses = get_scene(args.seed + s, args.fragments, args.frame,
+                                 args.warp, cache_dir=args.out)
         print(f"scene {s}: {len(frags)} frags, {len(poses)} gt pairs, "
               f"{time.time() - t0:.0f} s", flush=True)
 
