@@ -119,6 +119,13 @@ class D3FeatConfig:
     augment_axis: int = 1
     augment_rotation: float = 1.0
     augment_translation: float = 0.5
+    # rotation-frame distribution for the synthetic disk corpus (no
+    # reference equivalent — real 3DMatch pairs come pre-framed):
+    # 'axis' = the reference's 1-axis augmentation class; 'axis2' = both
+    # clouds in independent single-axis frames (the held-out eval-scene
+    # class); 'mix' = fair coin between the two per visit; 'so3' = full
+    # independent SO(3) frames (stalls training from scratch)
+    corpus_rotation: str = "axis"
     batch_size: int = 1  # pairs per device (the reference asserts 1; dataloader.py:73)
     num_workers: int = 4
 

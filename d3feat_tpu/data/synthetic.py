@@ -439,7 +439,15 @@ def frame_scan_pair(
     the source cloud keeps the shared world orientation, and the target gets
     ONE rotation about a random principal axis plus a uniform translation in
     [0, augment_translation)^3 — the invariance class the reference network
-    actually learns. ``rotation='so3'`` places BOTH clouds in independent
+    actually learns. ``rotation='axis2'`` gives BOTH clouds independent
+    single-principal-axis rotations: the relative rotation is then a
+    PRODUCT of two axis rotations — exactly the class the held-out eval
+    scenes draw (tools/ab_recall.make_scene gives every fragment its own
+    axis frame), which pure-'axis' training demonstrably fails on (round-4
+    scene-1: 0% recall at 72.7% on scene 0). ``rotation='mix'`` flips a
+    fair coin per visit between 'axis' and 'axis2' — a curriculum that
+    keeps the proven easy distribution while covering the eval class.
+    ``rotation='so3'`` places BOTH clouds in independent
     proper SO(3) frames (a strictly harder task than the reference's;
     useful for robustness studies, not for parity training — full-SO(3)
     framing was measured to stall training at D_pos == D_neg).
@@ -449,17 +457,38 @@ def frame_scan_pair(
     ``dist_keypts`` is computed from the noised source keypoints exactly as
     reference ThreeDMatch.py:135 does.
     """
-    from d3feat_tpu.data.augment import augment_pair, random_so3
+    from d3feat_tpu.data.augment import (
+        augment_pair,
+        random_rotation,
+        random_so3,
+        random_translation,
+    )
 
+    assert rotation in ("axis", "axis2", "mix", "so3"), rotation
     sel = pairs
     if len(sel) > num_corr:
         sel = sel[rng.choice(len(sel), num_corr, replace=False)]
     c = w0.mean(axis=0, keepdims=True)  # shared frame: one common recenter
+    if rotation == "mix":
+        rotation = "axis" if rng.random() < 0.5 else "axis2"
     if rotation == "axis":
         pts0, pts1, _ = augment_pair(
             rng, w0 - c, w1 - c, augment_noise=noise, augment_axis=1,
             augment_rotation=augment_rotation,
             augment_translation=augment_translation)
+    elif rotation == "axis2":
+        # both clouds in independent single-axis frames: relative rotation
+        # = product of two principal-axis rotations (the eval-scene class)
+        r0 = random_rotation(rng, 1, augment_rotation)
+        r1 = random_rotation(rng, 1, augment_rotation)
+        t1 = random_translation(rng, augment_translation)
+        pts0 = (w0 - c) @ r0.T
+        pts1 = (w1 - c) @ r1.T + t1
+        if noise > 0.0:
+            pts0 = pts0 + rng.random(pts0.shape) * noise
+            pts1 = pts1 + rng.random(pts1.shape) * noise
+        pts0 = pts0.astype(np.float32)
+        pts1 = pts1.astype(np.float32)
     else:  # 'so3': independent full-rotation frames (harder than reference)
         c1 = w1.mean(axis=0, keepdims=True)
         pts0 = ((w0 - c) @ random_so3(rng)).astype(np.float32)

@@ -19,14 +19,38 @@ import jax.numpy as jnp
 
 def select_keypoints(
     scores: np.ndarray, num_points: int, *, random: bool = False,
-    rng: np.random.Generator | None = None,
+    rng: np.random.Generator | None = None, on_short: str = "warn",
 ) -> np.ndarray:
     """Indices of the ``num_points`` top-score keypoints (or random ones)
-    (reference: test.py:52-57 — argsort tail, ascending order)."""
+    (reference: test.py:52-57 — argsort tail, ascending order).
+
+    Guard: fewer than ``num_points`` strictly-positive scores means the
+    top-k is padded with arbitrary zero-score (undetected) points — and,
+    when the scores came through ``config.eval_gate_topm``, it is exactly
+    the condition under which the gate's top-k-exactness argument no
+    longer holds (gating only zeroes, so per fragment the positive-score
+    count == detected-candidates-inside-top-M; exact top-k requires that
+    count >= k; see models/kpfcnn.detection_scores). ``on_short``:
+    'warn' (default) | 'raise' | 'ignore'.
+    """
     scores = np.asarray(scores).squeeze()
     if random:
         rng = rng or np.random.default_rng()
         return rng.choice(len(scores), num_points)
+    if on_short != "ignore":
+        detected = int(np.sum(scores > 0.0))
+        if detected < num_points:
+            msg = (
+                f"only {detected} positive-score keypoints for a top-"
+                f"{num_points} selection: the tail is arbitrary zero-score "
+                f"points (and eval_gate_topm exactness is void for this "
+                f"fragment — raise the gate's M or disable it)."
+            )
+            if on_short == "raise":
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return np.argsort(scores)[-num_points:]
 
 

@@ -63,6 +63,28 @@ def test_select_keypoints_top_scores():
     assert set(idx) == {1, 3}
 
 
+def test_select_keypoints_short_guard():
+    # fewer positive scores than k: the top-k tail is arbitrary zero-score
+    # points and (under eval_gate_topm) the gate's exactness argument is
+    # void for this fragment — select_keypoints must surface it
+    import warnings
+
+    import pytest
+
+    scores = np.array([0.0, 0.9, 0.0, 0.7, 0.0])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        idx = select_keypoints(scores, 2)  # 2 positives: exact, no warning
+        assert set(idx) == {1, 3}
+    with pytest.warns(RuntimeWarning, match="positive-score"):
+        select_keypoints(scores, 3)
+    with pytest.raises(RuntimeError, match="positive-score"):
+        select_keypoints(scores, 3, on_short="raise")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        select_keypoints(scores, 3, on_short="ignore")
+
+
 def test_inlier_stats_exact_pose():
     rng = np.random.default_rng(2)
     src = rng.normal(size=(30, 3))

@@ -126,3 +126,60 @@ def test_disk_corpus_subsample_fit_mode_keeps_corr_density(tmp_path):
     _check_fit(item, 2048)
     # subsample mode always keeps the endpoints of num_corr chosen pairs
     assert bool(item.corr_valid.all())
+
+
+@pytest.mark.parametrize("rotation", ["axis", "axis2", "mix", "so3"])
+def test_frame_scan_pair_rotation_modes_are_rigid(rotation):
+    # every frame mode must place the clouds by a RIGID motion: the GT
+    # correspondences must align under one best-fit SE(3) (Kabsch) with
+    # residual at the noise scale. 'axis2' additionally must produce
+    # composed-axis relative rotations (the held-out eval-scene class).
+    from d3feat_tpu.data.synthetic import frame_scan_pair, scan_pair_world
+
+    rng = np.random.default_rng(17)
+    w0, w1, pairs = scan_pair_world(
+        rng, resolution=(80, 60), max_corr=256, warp=1.5)
+    pts0, pts1, corr, dk = frame_scan_pair(
+        rng, w0, w1, pairs, num_corr=128, noise=0.005, rotation=rotation)
+    assert pts0.dtype == np.float32 and pts1.dtype == np.float32
+    a = pts0[corr[:, 0]]
+    b = pts1[corr[:, 1]]
+    # Kabsch: best rigid transform b -> a
+    ca, cb = a.mean(0), b.mean(0)
+    h = (b - cb).T @ (a - ca)
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+    resid = np.linalg.norm((b - cb) @ r.T + ca - a, axis=1)
+    # corr pairs are within 0.0375 in world space + 0.005 jitter
+    assert float(np.median(resid)) < 0.05
+    assert d > 0  # proper rotation (no reflection)
+    # dist_keypts comes from the noised source keypoints
+    kp = pts0[corr[:, 0]]
+    np.testing.assert_allclose(
+        dk, np.linalg.norm(kp[:, None] - kp[None], axis=-1), atol=1e-5)
+
+
+def test_frame_scan_pair_axis2_covers_composed_rotations():
+    # with independent per-cloud axis frames the relative rotation is NOT
+    # a single principal-axis rotation for most draws: check that across
+    # draws, at least one relative rotation moves all three principal axes
+    from d3feat_tpu.data.synthetic import frame_scan_pair, scan_pair_world
+
+    rng = np.random.default_rng(23)
+    w0, w1, pairs = scan_pair_world(
+        rng, resolution=(80, 60), max_corr=256, warp=1.5)
+    composed = 0
+    for _ in range(8):
+        pts0, pts1, corr, _ = frame_scan_pair(
+            rng, w0, w1, pairs, num_corr=128, noise=0.0, rotation="axis2")
+        a, b = pts0[corr[:, 0]], pts1[corr[:, 1]]
+        ca, cb = a.mean(0), b.mean(0)
+        h = (b - cb).T @ (a - ca)
+        u, _, vt = np.linalg.svd(h)
+        d = np.sign(np.linalg.det(vt.T @ u.T))
+        r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+        # a single-principal-axis rotation keeps one diagonal entry == 1
+        if np.all(np.abs(np.diag(r) - 1.0) > 0.05):
+            composed += 1
+    assert composed >= 1

@@ -33,6 +33,7 @@ def make_loaders(config, synthetic: bool, scan: bool = False,
         # per-visit augmentation makes every epoch fresh; the corpus dir
         # may keep growing under a concurrent tools/gen_corpus.py
         aug = dict(noise=config.augment_noise,
+                   rotation=config.corpus_rotation,
                    augment_rotation=config.augment_rotation,
                    augment_translation=config.augment_translation)
         train_ds = DiskScanPairDataset(
