@@ -347,6 +347,18 @@ def band_conv_eligible(spec: BlockSpec, batch, config, train: bool) -> bool:
     fwd+bwd hot loop (reference: models/blocks.py:237-387 + trainer.py:103)
     stay on the MXU."""
     if spec.deformable:
+        # Deformable KPConv stays on the XLA path PERMANENTLY (recorded
+        # round-5 decision). Extending the band kernels would need (a) a
+        # per-query kernel-point stream ([CHUNK, KP, 3] of offset
+        # positions — today the [KP, 3] dispositions are a broadcast
+        # constant), (b) a third backward kernel for the offset gradients,
+        # and (c) 2x wider band windows (deform_radius 5.0 vs conv_radius
+        # 2.5) that blow the VMEM scoping the band pads are calibrated
+        # for. The path is off by default in the reference
+        # (reference: config.py:44) and in every released D3Feat config,
+        # contributes nothing to the headline benchmarks, and its XLA
+        # formulation has exact imported-weight parity incl. modulated
+        # (tests/test_reference_parity_deform.py).
         return False
     if config.KP_influence != "linear" or config.aggregation_mode != "sum":
         return False
