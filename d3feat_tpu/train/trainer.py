@@ -116,7 +116,31 @@ class Trainer:
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def _load_pretrain(self, name: str) -> None:
-        """Resume from a snapshot name inside the snapshot dir, or a path."""
+        """Resume from a snapshot name inside the snapshot dir, or a path.
+
+        A ``.npz`` path warm-starts from a portable params-only artifact
+        (compat/portable.py): params + model_state are restored, the
+        optimizer state stays fresh (momentum rebuilds within ~1/(1-beta)
+        steps) and the epoch counter / best-acc come from the artifact's
+        meta. This is the reset-recovery path — Orbax snapshots live on
+        the wipeable disk, the npz is committed to git.
+        """
+        if name.endswith(".npz"):
+            from d3feat_tpu.compat.portable import import_npz
+
+            params, mstate, meta = import_npz(
+                name, self.state.params, self.state.model_state)
+            self.state = self.state._replace(
+                params=params, model_state=mstate)
+            self.start_epoch = int(meta.get("epoch", 0))
+            self.best_loss = float(meta.get("best_loss", float("inf")))
+            self.best_acc = float(meta.get("best_acc", 0.0))
+            self.global_iter = self.start_epoch * min(
+                len(self.train_loader), self.config.training_max_iter)
+            if self.verbose:
+                print(f"[trainer] warm-started {name!r} at epoch "
+                      f"{self.start_epoch} (best_acc {self.best_acc:.2f}%)")
+            return
         mgr = self.snapshots
         if os.path.isabs(name) or os.sep in name:
             mgr = SnapshotManager(os.path.dirname(name))

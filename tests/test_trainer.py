@@ -80,6 +80,29 @@ def test_trainer_end_to_end_and_resume(tmp_path):
     )
 
 
+def test_trainer_warmstart_from_npz(tmp_path):
+    """pretrain=<path>.npz restores params/model_state + epoch/best-acc
+    meta from a portable artifact (the committed reset-recovery path),
+    leaving the optimizer state fresh."""
+    from d3feat_tpu.compat.portable import export_npz
+
+    cfg = tiny_config(tmp_path)
+    donor = Trainer(cfg, make_loader(cfg), None)
+    npz = os.path.join(tmp_path, "w.npz")
+    export_npz(npz, donor.state.params, donor.state.model_state,
+               meta={"epoch": 41, "best_loss": 2.45, "best_acc": 30.47})
+
+    cfg2 = tiny_config(tmp_path)
+    cfg2.pretrain = npz
+    t2 = Trainer(cfg2, make_loader(cfg2), None)
+    assert t2.start_epoch == 41
+    assert t2.best_acc == pytest.approx(30.47)
+    assert t2.best_loss == pytest.approx(2.45)
+    for a, b in zip(jax.tree_util.tree_leaves(t2.state.params),
+                    jax.tree_util.tree_leaves(donor.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_trainer_dp_runs(tmp_path):
     cfg = tiny_config(tmp_path, num_devices=4)
     cfg.max_epoch = 1
