@@ -77,7 +77,9 @@ def main():
     # keypoint selection stays exact for the protocol's k=250 per fragment
     # (16x margin per fragment; see config.eval_gate_topm); saves the
     # full-cloud [*, K0, D] gate gather (~1.7 ms/frag, MFU.md)
-    cfg.eval_gate_topm = 16 * 250 * B
+    # BENCH_GATE_TOPM=0 disables the gate (tools/gate_ab.py A/B rides this)
+    cfg.eval_gate_topm = int(
+        os.environ.get("BENCH_GATE_TOPM", 16 * 250 * B))
 
     ts, specs = init_train_state(jax.random.key(0), cfg)
     n_dev = 1

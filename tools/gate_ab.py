@@ -81,6 +81,11 @@ def main():
     else:
         print("[gate_ab] WARNING: random-init weights (snapshot missing) — "
               "score field is untrained; set --snapshot for the real test")
+    # import_npz returns host numpy arrays; without an explicit device_put
+    # every extract call re-ships the full parameter set over the tunnel
+    # (~2 s/call), swamping the measurement.
+    params = jax.device_put(params)
+    mstate = jax.device_put(mstate)
 
     import copy
 
