@@ -174,12 +174,36 @@ def unary_cost(spec, lengths):
 
 # ---------------------------------------------------------------- buckets
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _line_span(relpath, start_pat, end_pat):
+    """1-based [start, end] line span in ``relpath`` from the first line
+    matching start_pat through the next line matching end_pat. Buckets
+    keyed on source LINES (the eval gate / max_pool live inside files
+    whose other lines belong to different buckets) must not go stale when
+    the file is edited — round 4's hardcoded ranges did exactly that."""
+    lines = open(os.path.join(_REPO, relpath)).read().splitlines()
+    start = next(i for i, ln in enumerate(lines, 1) if re.search(start_pat, ln))
+    end = next(i for i, ln in enumerate(lines[start - 1:], start)
+               if re.search(end_pat, ln))
+    return start, end
+
+
+# buckets resolved by (file, line-span) — checked before the regex buckets
+SPAN_BUCKETS = (
+    ("eval local-max gate", "d3feat_tpu/models/kpfcnn.py",
+     _line_span("d3feat_tpu/models/kpfcnn.py",
+                r"topm = getattr\(config", r"scores = scores \* detected")),
+    ("shortcut max_pool", "d3feat_tpu/models/blocks.py",
+     _line_span("d3feat_tpu/models/blocks.py",
+                r"def closest_pool", r"return jnp\.max\(gathered")),
+)
+
 BUCKETS = (
     ("band_conv kernels", r"band_conv\.py"),
     ("select kernels", r"select\.py"),
     ("detector head kernel", r"head\.py"),
-    ("eval local-max gate", r"kpfcnn\.py:(23[0-9]|24[0-9])"),
-    ("shortcut max_pool", r"blocks\.py:(8[5-9]|9[0-9])"),
     ("voxel subsample", r"subsample\.py"),
     ("level sorts + search misc", r"neighbors\.py"),
     ("XLA convs (deep)", r"kpconv\.py"),
@@ -189,23 +213,42 @@ BUCKETS = (
 
 
 def bucket_of(src):
+    m = re.match(r"(.+\.py):(\d+)$", src)
+    if m:
+        base, line = m.group(1), int(m.group(2))
+        for name, relpath, (lo, hi) in SPAN_BUCKETS:
+            if os.path.basename(relpath) == base and lo <= line <= hi:
+                return name
     for name, pat in BUCKETS:
         if re.search(pat, src):
             return name
     return "other"
 
 
+B = 2  # fragments per call — bench.py's FRAGS_PER_CALL default
+
+
 def main():
+    # EXACTLY bench.py's operating point (caps, query tile, top-M eval
+    # gate, B=2 batching) so the table attributes the headline number,
+    # not a neighboring configuration
     cfg = D3FeatConfig()
-    cfg.caps = PyramidCaps(points=(16384, 8192, 2048, 768, 256),
+    cfg.caps = PyramidCaps(points=(16384 * B, 8192 * B, 2048 * B,
+                                   768 * B, 256 * B),
                            neighbors=(40,) * 5, corr=128)
     cfg.query_tile = 512
+    cfg.eval_gate_topm = 16 * 250 * B
 
     rng = np.random.default_rng(0)
-    f = scan_fragment(rng)
-    while not (12000 <= len(f) <= 16000):
+
+    def fragment():
         f = scan_fragment(rng)
-    b = pack_fragments([f], point_capacity=16384, num_clouds=2)
+        while not (12000 <= len(f) <= 16000):
+            f = scan_fragment(rng)
+        return f
+
+    b = pack_fragments([fragment() for _ in range(B)],
+                       point_capacity=16384 * B, num_clouds=max(2, B))
     batch = {k: jnp.asarray(v) for k, v in b.items()}
 
     # ---- analytic FLOPs/bytes from the real pyramid
@@ -255,7 +298,9 @@ def main():
     # gate + max_pool + head byte estimates (gather volumes)
     n0 = int(np.sum(lengths[0]))
     k0 = cfg.caps.neighbors[0]
-    ana["eval local-max gate"][1] = n0 * k0 * 32 * 4
+    # top-M gate: [M, K0, D] gather + the [N]-wide top_k + scatter passes
+    gate_m = min(cfg.eval_gate_topm or n0, n0)
+    ana["eval local-max gate"][1] = gate_m * k0 * 32 * 4 + 3 * n0 * 4
     for s in specs.encoder:
         if s.kind == "resnetb" and s.strided:
             nq = int(np.sum(lengths[s.layer + 1]))
@@ -303,8 +348,12 @@ def main():
         meas[bucket_of(src) if src else "other"] += e["dur"]
         total += e["dur"]
 
-    us = {k: v / STEPS for k, v in meas.items()}
-    total_us = total / STEPS
+    # per-FRAGMENT figures: the traced call serves B fragments, and the
+    # analytic ana[] volumes come from the same B-fragment pyramid
+    us = {k: v / (STEPS * B) for k, v in meas.items()}
+    total_us = total / (STEPS * B)
+    for k in ana:
+        ana[k] = [v / B for v in ana[k]]
 
     rows = []
     tot_fl = tot_by = 0
