@@ -23,6 +23,9 @@ python tools/final_recall.py --snapshot "$SNAP" --scenes 8 \
 python -c "import json; d=json.load(open('TRAIN_RECALL_r05.json')); \
 print('recall', d['recall_trained'], 'per-scene', d['per_scene_recall']['trained']['per_scene_recall'])"
 
+# NOTE: this step is CPU-only (both stacks pinned to cpu) — it can (and
+# should) run BEFORE the trainer exits, at the then-best artifact, so the
+# chip window is spent on the chip-only steps. Skip here if already done.
 echo "=== 2/4 cross-stack trained A/B (CPU, torch reference) ==="
 python tools/ab_recall.py --snapshot "$SNAP" --warp 2.0 --fragments 24 \
     --out AB_RECALL_TRAINED_r05.json
@@ -32,6 +35,11 @@ print('gap', d['abs_recall_gap'], 'ours', d['recall_ours'], 'ref', d['recall_ref
 echo "=== 3/4 headline bench (B=2 default) ==="
 python bench.py
 
-echo "=== 4/4 bench batching A/B (B=4, B=8) ==="
+echo "=== 4/5 bench batching A/B (B=4, B=8) ==="
 BENCH_FRAGS_PER_CALL=4 python bench.py
 BENCH_FRAGS_PER_CALL=8 python bench.py
+
+echo "=== 5/5 regenerate MFU.md at the TRUE bench operating point ==="
+# the committed MFU.md came from a trace taken minutes before f9f385a
+# fixed the tool to B=2 + top-M gate; this re-trace closes that gap
+python tools/mfu_report.py

@@ -49,6 +49,10 @@ def main():
                     help="directory of pre-generated scenes (scene_<i>.npz "
                     "written on first run): scene generation is minutes of "
                     "host CPU per scene, so the chip phase loads them")
+    ap.add_argument("--skip_init", action="store_true",
+                    help="skip the init-weights control pass (its numbers "
+                    "are protocol-stable: recall 0.0 on every recorded "
+                    "probe) — halves mid-training ladder probe cost")
     args = ap.parse_args()
 
     import jax
@@ -102,14 +106,19 @@ def main():
 
     results, per_scene = {}, {}
     gt_total = 0
-    for tag, params, model_state in (
-        ("init", ts.params, ts.model_state),
-        ("trained", trained.params, trained.model_state),
-    ):
+    passes = [("init", ts.params, ts.model_state),
+              ("trained", trained.params, trained.model_state)]
+    if args.skip_init:
+        results["init"] = {"recall": None, "avg_inlier_ratio": None,
+                           "inlier_ratio_pctiles": {}}
+        per_scene["init"] = {"per_scene_recall": []}
+        passes = passes[1:]
+    for tag, params, model_state in passes:
         ex = FeatureExtractor(cfg, params, model_state,
                               batch_fragments=args.batch_fragments,
                               on_overflow="warn")
         recalls, ratios, pair_ratios = [], [], []
+        pair_detail = {}
         for s, (frags, poses) in enumerate(scenes):
             feats = FragmentFeatures()
             for i, (desc, sc) in enumerate(ex.extract_many(frags)):
@@ -119,6 +128,9 @@ def main():
             recalls.append(res.recall)
             ratios.append(res.avg_inlier_ratio)
             pair_ratios.extend((res.pair_ratios or {}).values())
+            pair_detail[f"scene{s}"] = {
+                k: round(v, 5) for k, v in (res.pair_ratios or {}).items()
+            }
             if tag == "trained":
                 gt_total += len(poses)
             print(f"  {tag} scene {s}: recall {res.recall:.1f} "
@@ -133,7 +145,12 @@ def main():
             },
         }
         per_scene[tag] = {"per_scene_recall": recalls}
-        print(tag, results[tag], flush=True)
+        if tag == "trained":
+            # per-pair inlier ratios: the distribution behind the recall
+            # number (which pairs clear 5%), keyed scene -> "i_j"
+            results[tag]["pair_inlier_ratios"] = pair_detail
+        print(tag, {k: v for k, v in results[tag].items()
+                    if k != "pair_inlier_ratios"}, flush=True)
 
     out = {
         "protocol": "reference test.py:20-82 (top-k, mutual-NN, "
@@ -148,12 +165,16 @@ def main():
                      else os.path.join(args.snapshot, args.name)),
         "epochs_meta": meta,
         "per_scene_recall": per_scene,
+        "fragment_sizes": {f"scene{s}": [len(f) for f in frags]
+                           for s, (frags, _) in enumerate(scenes)},
         **{f"{k}_{t}": v for t, r in results.items() for k, v in r.items()},
         "recall_gain":
-            results["trained"]["recall"] - results["init"]["recall"],
+            (results["trained"]["recall"] - results["init"]["recall"]
+             if not args.skip_init else None),
         "inlier_ratio_gain":
-            results["trained"]["avg_inlier_ratio"]
-            - results["init"]["avg_inlier_ratio"],
+            (results["trained"]["avg_inlier_ratio"]
+             - results["init"]["avg_inlier_ratio"]
+             if not args.skip_init else None),
     }
     print(json.dumps(out, indent=2, default=str))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
