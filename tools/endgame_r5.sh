@@ -19,7 +19,7 @@ EOF
 
 echo "=== 1/4 final_recall (chip, 8 held-out cached scenes) ==="
 python tools/final_recall.py --snapshot "$SNAP" --scenes 8 \
-    --scene_cache runs/eval_cache --out TRAIN_RECALL_r05.json
+    --scene_cache artifacts/eval_cache --out TRAIN_RECALL_r05.json
 python -c "import json; d=json.load(open('TRAIN_RECALL_r05.json')); \
 print('recall', d['recall_trained'], 'per-scene', d['per_scene_recall']['trained']['per_scene_recall'])"
 
