@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--fragments", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--k", type=int, default=250)
+    ap.add_argument("--b", type=int, default=2,
+                    help="fragments per call (match bench FRAGS_PER_CALL)")
     ap.add_argument("--out", default="GATE_AB.json")
     args = ap.parse_args()
 
@@ -55,8 +57,8 @@ def main():
     from d3feat_tpu.eval.matching import select_keypoints
     from d3feat_tpu.train.step import init_train_state, make_extract_step
 
-    # ---- bench.py operating point, verbatim ----
-    B = 2
+    # ---- bench.py operating point (B overridable for batching A/Bs) ----
+    B = args.b
     NC = max(2, B)
     cfg = D3FeatConfig()
     cfg.caps = PyramidCaps(
